@@ -1,0 +1,119 @@
+"""Golden-value tests for the acoustic frontend against a numpy oracle.
+
+The oracle re-implements framing / windowed rfft / mel / deltas / CMVN the
+slow obvious way (the behaviour of the reference's offline feature pipeline,
+SURVEY.md §2.9) and the fused matmul-DFT frontend must match it closely.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tensorflow_end2end_speech_recognition_tpu.frontend import (
+    FrontendConfig,
+    add_deltas,
+    cmvn_utterance,
+    extract_features,
+    frame_signal,
+    log_mel_spectrogram,
+)
+from tensorflow_end2end_speech_recognition_tpu.frontend.features import (
+    _mel_matrix,
+    _window_fn,
+)
+
+
+def _oracle_logmel(wav, cfg: FrontendConfig):
+    # pre-emphasis
+    w = wav.astype(np.float64).copy()
+    w[1:] = w[1:] - cfg.preemphasis * w[:-1]
+    w[0] = w[0] * (1 - cfg.preemphasis)
+    n, step, flen = len(w), cfg.frame_step, cfg.frame_length
+    t = max(0, 1 + (n - flen) // step)
+    win = _window_fn(cfg.window, flen)
+    frames = np.stack([w[i * step : i * step + flen] for i in range(t)])
+    spec = np.fft.rfft(frames * win[None, :], n=cfg.fft_length)
+    power = np.abs(spec) ** 2
+    mel = power @ np.asarray(_mel_matrix(cfg), dtype=np.float64)
+    out = np.log(np.maximum(mel, cfg.log_floor))
+    if cfg.use_energy:
+        e = np.log(np.maximum(np.sum(frames * frames, axis=1), cfg.log_floor))
+        out = np.concatenate([e[:, None], out], axis=1)
+    return out
+
+
+@pytest.fixture
+def wav():
+    rng = np.random.RandomState(0)
+    t = np.arange(16000 * 2) / 16000.0
+    sig = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1320 * t)
+        + 0.05 * rng.randn(len(t))
+    )
+    return sig.astype(np.float32)
+
+
+def test_frame_signal_shape(wav):
+    cfg = FrontendConfig()
+    frames = frame_signal(jnp.asarray(wav), cfg)
+    t = 1 + (len(wav) - cfg.frame_length) // cfg.frame_step
+    assert frames.shape == (t, cfg.frame_length)
+    np.testing.assert_allclose(
+        np.asarray(frames[3]),
+        wav[3 * cfg.frame_step : 3 * cfg.frame_step + cfg.frame_length],
+    )
+
+
+def test_logmel_matches_fft_oracle(wav):
+    cfg = FrontendConfig(use_energy=True)
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(wav), cfg))
+    oracle = _oracle_logmel(wav, cfg)
+    assert ours.shape == oracle.shape == (198, 41)
+    # matmul-DFT in fp32 vs numpy fft in fp64: perceptually loud bins must agree
+    # tightly; bins far below the frame max suffer fp32 cancellation and only
+    # need loose agreement (they carry no information after CMVN).
+    err = np.abs(ours - oracle)
+    frame_max = oracle.max(axis=1, keepdims=True)
+    loud = oracle > frame_max - 20 * np.log(10) / 10  # within 20 dB of max
+    assert err[loud].max() < 0.03
+    assert err.max() < 0.5
+
+
+def test_deltas_match_oracle():
+    rng = np.random.RandomState(1)
+    x = rng.randn(10, 4).astype(np.float32)
+    out = np.asarray(add_deltas(jnp.asarray(x), window=2))
+    assert out.shape == (10, 12)
+    # oracle delta with edge padding
+    xp = np.pad(x, ((2, 2), (0, 0)), mode="edge")
+    denom = 2.0 * (1 + 4)
+    d = np.zeros_like(x)
+    for k in (1, 2):
+        d += k * (xp[2 + k : 2 + k + 10] - xp[2 - k : 2 - k + 10])
+    d /= denom
+    np.testing.assert_allclose(out[:, 4:8], d, atol=1e-5)
+
+
+def test_cmvn_masked_stats():
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 20, 8).astype(np.float32) * 3 + 1.5
+    lens = np.array([20, 12])
+    out = np.asarray(cmvn_utterance(jnp.asarray(x), jnp.asarray(lens)))
+    for b, L in enumerate(lens):
+        valid = out[b, :L]
+        np.testing.assert_allclose(valid.mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(valid.std(axis=0), 1.0, atol=1e-2)
+        np.testing.assert_allclose(out[b, L:], 0.0)
+
+
+def test_extract_features_batched(wav):
+    cfg = FrontendConfig()
+    batch = jnp.stack([jnp.asarray(wav), jnp.zeros_like(jnp.asarray(wav))])
+    lens = jnp.asarray([len(wav), 8000])
+    feats, feat_len = extract_features(batch, lens, cfg)
+    assert feats.shape == (2, 198, cfg.feature_dim)
+    assert cfg.feature_dim == 123  # 40 mel + energy, x3 with deltas
+    np.testing.assert_array_equal(np.asarray(feat_len), [198, 48])
+    # padded region of utt 1 must be zero
+    assert np.all(np.asarray(feats[1, 48:]) == 0.0)
