@@ -1,0 +1,134 @@
+"""Bucketed, length-sorted batching over utterances (host side of the pipeline).
+
+Reference behaviour being re-provided (``utils/dataset/base.py``, SURVEY.md
+§2.6/§3.4): length-sorted batches for the first ``sort_stop_epoch`` epochs
+(curriculum + padding efficiency), shuffled after; zero-padding to the batch
+max; ``-1``-padded dense labels. TPU-first differences:
+
+- **Static shapes**: every batch's time axis is padded up to a bucket bound
+  from a fixed ladder, and label length to a fixed ladder, so XLA compiles a
+  handful of programs instead of one per shape (SURVEY.md §5.7).
+- Batches are dicts of numpy arrays ready for ``jax.device_put``; the
+  device-side work (frontend, stacking, splicing) happens inside the jitted
+  step, not here.
+- Utterances may carry raw waveforms (in-framework frontend) or precomputed
+  feature matrices (the reference's ``.npy`` consumption mode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .toy_corpus import Utterance
+
+
+def bucket_ladder(lengths, num_buckets: int = 4, multiple: int = 512):
+    """Quantile-based ladder of padded lengths, rounded up to ``multiple``."""
+    lengths = np.asarray(lengths)
+    qs = np.quantile(lengths, np.linspace(1.0 / num_buckets, 1.0, num_buckets))
+    ladder = sorted({int(-(-q // multiple) * multiple) for q in qs})
+    if ladder[-1] < lengths.max():
+        ladder[-1] = int(-(-int(lengths.max()) // multiple) * multiple)
+    return ladder
+
+
+def pad_to_ladder(n: int, ladder) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+class Dataset:
+    """Iterator factory over utterance batches with reference-like semantics."""
+
+    def __init__(
+        self,
+        utterances: list[Utterance],
+        batch_size: int,
+        sort_utt: bool = True,
+        sort_stop_epoch: int | None = None,
+        seed: int = 0,
+        num_wav_buckets: int = 4,
+        num_label_buckets: int = 3,
+        input_kind: str = "wav",  # "wav" | "features"
+    ):
+        if not utterances:
+            raise ValueError("empty dataset")
+        self.utterances = list(utterances)
+        self.batch_size = batch_size
+        self.sort_utt = sort_utt
+        self.sort_stop_epoch = sort_stop_epoch if sort_stop_epoch is not None else (1 << 30)
+        self.seed = seed
+        self.input_kind = input_kind
+        if input_kind == "wav":
+            lens = [len(u.wav) for u in self.utterances]
+        else:
+            lens = [u.wav.shape[0] for u in self.utterances]  # frames
+        self._input_lens = np.asarray(lens)
+        self.wav_ladder = bucket_ladder(
+            lens, num_wav_buckets, multiple=512 if input_kind == "wav" else 16
+        )
+        label_lens = [len(u.label_ids) for u in self.utterances]
+        self.label_ladder = bucket_ladder(label_lens, num_label_buckets, multiple=8)
+        self.num_batches = -(-len(self.utterances) // batch_size)
+
+    def __len__(self):
+        return len(self.utterances)
+
+    def batches(self, epoch: int = 0):
+        """Yield batch dicts for one epoch.
+
+        Length-sorted while ``epoch < sort_stop_epoch`` (ascending input
+        length, like the reference's curriculum), shuffled afterwards —
+        but batches are always formed from contiguous sorted runs so that
+        same-bucket utterances batch together (padding efficiency).
+        """
+        order = np.argsort(self._input_lens, kind="stable")
+        rng = np.random.RandomState(self.seed + epoch)
+        batch_starts = np.arange(self.num_batches) * self.batch_size
+        if not self.sort_utt or epoch >= self.sort_stop_epoch:
+            rng.shuffle(batch_starts)  # shuffle batch order, keep bucketing
+        for start in batch_starts:
+            idx = order[start : start + self.batch_size]
+            yield self._make_batch(idx)
+
+    def _make_batch(self, idx):
+        utts = [self.utterances[i] for i in idx]
+        b = self.batch_size
+        in_lens = [self._input_lens[i] for i in idx]
+        t_pad = pad_to_ladder(max(in_lens), self.wav_ladder)
+        u_pad = pad_to_ladder(max(len(u.label_ids) for u in utts), self.label_ladder)
+        if self.input_kind == "wav":
+            inputs = np.zeros((b, t_pad), dtype=np.float32)
+        else:
+            d = utts[0].wav.shape[-1]
+            inputs = np.zeros((b, t_pad, d), dtype=np.float32)
+        labels = np.full((b, u_pad), -1, dtype=np.int32)
+        input_len = np.zeros((b,), dtype=np.int32)
+        label_len = np.zeros((b,), dtype=np.int32)
+        names = []
+        for j, u in enumerate(utts):
+            n = int(self._input_lens[idx[j]])
+            inputs[j, :n] = u.wav
+            labels[j, : len(u.label_ids)] = u.label_ids
+            input_len[j] = n
+            label_len[j] = len(u.label_ids)
+            names.append(u.name)
+        # short final batch: repeat last utterance (mask via label_len? no —
+        # keep reference semantics: batch is full-size; duplicates carry real
+        # data so loss stays well-defined; eval dedups by name)
+        for j in range(len(utts), b):
+            src = (j - len(utts)) % len(utts)
+            inputs[j] = inputs[src]
+            labels[j] = labels[src]
+            input_len[j] = input_len[src]
+            label_len[j] = label_len[src]
+            names.append(None)
+        return {
+            "inputs": inputs,
+            "labels": labels,
+            "input_len": input_len,
+            "label_len": label_len,
+            "names": names,
+        }

@@ -1,0 +1,70 @@
+"""Deterministic synthetic speech corpus for tests, smoke training, and bench.
+
+No real corpora exist in this environment (the reference consumed offline
+TIMIT/CSJ/LibriSpeech features; SURVEY.md §2.9), so this module synthesizes a
+learnable audio->label task: every unit in the tokenizer's inventory is
+rendered as a unit-specific "formant" chord (2 sines + mild noise) of
+unit-specific duration. An utterance is a concatenation of such segments,
+so a CTC/attention model can genuinely learn the alignment and drive PER
+towards zero — the same role the reference's bundled sample utterance played
+in its convergence smoke tests (SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .tokenizers import Tokenizer, build_tokenizer
+
+
+@dataclass
+class Utterance:
+    name: str
+    wav: np.ndarray  # float32 [num_samples]
+    label_ids: list
+    text: str
+
+
+class ToyCorpus:
+    def __init__(
+        self,
+        label_type: str = "phone61",
+        num_utts: int = 128,
+        min_units: int = 3,
+        max_units: int = 10,
+        sample_rate: int = 16000,
+        seed: int = 0,
+        noise: float = 0.02,
+    ):
+        self.label_type = label_type
+        self.sample_rate = sample_rate
+        self.tokenizer: Tokenizer = build_tokenizer(label_type)
+        rng = np.random.RandomState(seed)
+        v = self.tokenizer.num_units
+        # unit-specific formant pairs spread over [200, 3800] Hz, co-prime-ish
+        f1 = 200.0 + 3000.0 * rng.permutation(v) / max(v - 1, 1)
+        f2 = 500.0 + 3300.0 * rng.permutation(v) / max(v - 1, 1)
+        dur = rng.randint(int(0.06 * sample_rate), int(0.12 * sample_rate), size=v)
+        self._unit_params = (f1, f2, dur)
+        self.utterances: list[Utterance] = []
+        for i in range(num_utts):
+            n_units = rng.randint(min_units, max_units + 1)
+            ids = rng.randint(0, v, size=n_units).tolist()
+            wav = self._render(ids, rng, noise)
+            text = " ".join(self.tokenizer.units[j] for j in ids)
+            self.utterances.append(Utterance(f"toy{i:05d}", wav, ids, text))
+
+    def _render(self, ids, rng, noise) -> np.ndarray:
+        f1, f2, dur = self._unit_params
+        sr = self.sample_rate
+        segs = []
+        for j in ids:
+            n = int(dur[j])
+            t = np.arange(n) / sr
+            env = np.hanning(n)  # soften segment boundaries
+            seg = env * (0.6 * np.sin(2 * np.pi * f1[j] * t) + 0.4 * np.sin(2 * np.pi * f2[j] * t))
+            segs.append(seg)
+        wav = np.concatenate(segs) + noise * rng.randn(sum(int(dur[j]) for j in ids))
+        return wav.astype(np.float32)

@@ -1,0 +1,92 @@
+"""Tests for tokenizers, frame ops, toy corpus, and bucketed dataset."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tensorflow_end2end_speech_recognition_tpu.data import (
+    CharTokenizer,
+    Dataset,
+    PhoneTokenizer,
+    ToyCorpus,
+    build_tokenizer,
+    fold_phones,
+    phone_inventory,
+    splice_frames,
+    stack_frames,
+)
+
+
+def test_phone_inventories():
+    assert len(phone_inventory("phone61")) == 61
+    assert len(phone_inventory("phone48")) == 48
+    assert len(phone_inventory("phone39")) == 39
+    folded = fold_phones(["q", "bcl", "ao", "ix", "iy"], "phone39")
+    assert folded == ["sil", "sil", "aa", "ih", "iy"]
+
+
+def test_char_tokenizer_roundtrip():
+    tok = CharTokenizer()
+    ids = tok.encode_text("hello world")
+    assert tok.decode_text(ids) == "hello world"
+    assert tok.num_units == 28
+    assert tok.blank_id == 28
+
+    cap = CharTokenizer(capital_divide=True)
+    ids = cap.encode_text("hello world")
+    assert cap.decode_text(ids) == "hello world"
+
+
+def test_word_tokenizer_unk():
+    tok = build_tokenizer("word_freq2", corpus_texts=["a a b b c", "a b"])
+    ids = tok.encode_text("a c d")
+    assert tok.decode_text(ids).split() == ["a", "<unk>", "<unk>"]
+
+
+def test_stack_frames():
+    feats = jnp.arange(2 * 9 * 2, dtype=jnp.float32).reshape(2, 9, 2)
+    out, new_len = stack_frames(feats, jnp.asarray([9, 5]), num_stack=3, num_skip=3)
+    assert out.shape == (2, 3, 6)
+    np.testing.assert_array_equal(np.asarray(new_len), [3, 2])
+    # window 0 of utt 0 = frames 0,1,2 concatenated
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [0, 1, 2, 3, 4, 5])
+    # identity case
+    same, same_len = stack_frames(feats, jnp.asarray([9, 5]), 1, 1)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(feats))
+
+
+def test_splice_frames():
+    feats = jnp.arange(1 * 4 * 1, dtype=jnp.float32).reshape(1, 4, 1)
+    out = splice_frames(feats, splice=1)
+    assert out.shape == (1, 4, 3)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [0, 0, 1])  # zero left edge
+    np.testing.assert_allclose(np.asarray(out[0, 2]), [1, 2, 3])
+
+
+def test_toy_corpus_and_dataset():
+    corpus = ToyCorpus(label_type="phone61", num_utts=20, seed=3)
+    assert len(corpus.utterances) == 20
+    # deterministic across constructions
+    corpus2 = ToyCorpus(label_type="phone61", num_utts=20, seed=3)
+    np.testing.assert_array_equal(corpus.utterances[5].wav, corpus2.utterances[5].wav)
+
+    ds = Dataset(corpus.utterances, batch_size=8, sort_stop_epoch=1, seed=0)
+    shapes = set()
+    names_seen = set()
+    for batch in ds.batches(epoch=0):
+        assert batch["inputs"].shape[0] == 8
+        assert batch["inputs"].shape[1] % 512 == 0
+        shapes.add(batch["inputs"].shape)
+        for n, il, ll in zip(batch["names"], batch["input_len"], batch["label_len"]):
+            if n is not None:
+                names_seen.add(n)
+            assert il > 0 and ll > 0
+    assert names_seen == {u.name for u in corpus.utterances}
+    # bucketing bounds the number of distinct shapes
+    assert len(shapes) <= 4
+
+    # epoch 0 sorted ascending: first batch strictly shorter than last
+    b = list(ds.batches(epoch=0))
+    assert b[0]["input_len"].max() <= b[-1]["input_len"].max()
+
+    # labels padded with -1
+    assert (b[0]["labels"] >= -1).all()
