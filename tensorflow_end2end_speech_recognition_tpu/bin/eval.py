@@ -1,0 +1,52 @@
+"""Evaluation entry point: restore a checkpoint and score eval sets.
+
+Reference parity: ``experiments/<corpus>/evaluation/eval_{ctc,attention}.py``
+rebuilt the model from the saved ``config.yml`` and restored a chosen epoch
+(SURVEY.md §3.3). Usage:
+
+    python -m tensorflow_end2end_speech_recognition_tpu.bin.eval \
+        /tmp/model_dir [--epoch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..utils.jax_setup import setup as _jax_setup
+from pathlib import Path
+
+import jax
+
+from ..data import Dataset
+from ..train.checkpoint import CheckpointManager
+from ..train.ctc_task import init_params, make_eval_step
+from ..train.loop import build_corpus_splits, build_ctc_task
+from ..utils.config import ExperimentConfig
+from ..utils.metrics import evaluate_ctc
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model_dir")
+    ap.add_argument("--epoch", type=int, default=None, help="checkpoint epoch (default: best)")
+    args = ap.parse_args(argv)
+    _jax_setup()
+
+    model_dir = Path(args.model_dir)
+    exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
+    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
+    task = build_ctc_task(exp, tokenizer)
+    params = init_params(jax.random.PRNGKey(exp.seed), task)
+    epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
+        {"params": params}, args.epoch
+    )
+    params = state["params"]
+    eval_step = make_eval_step(task)
+    for name, utts in (("dev", dev_utts), ("test", test_utts)):
+        ds = Dataset(utts, exp.eval_batch_size or exp.batch_size)
+        m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
+        print(f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} loss {m['loss']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,12 +37,14 @@ class ToyCorpus:
         sample_rate: int = 16000,
         seed: int = 0,
         noise: float = 0.02,
+        vocab_size: int | None = None,  # restrict labels to the first N units
     ):
         self.label_type = label_type
         self.sample_rate = sample_rate
         self.tokenizer: Tokenizer = build_tokenizer(label_type)
         rng = np.random.RandomState(seed)
         v = self.tokenizer.num_units
+        draw_v = min(vocab_size, v) if vocab_size else v
         # unit-specific formant pairs spread over [200, 3800] Hz, co-prime-ish
         f1 = 200.0 + 3000.0 * rng.permutation(v) / max(v - 1, 1)
         f2 = 500.0 + 3300.0 * rng.permutation(v) / max(v - 1, 1)
@@ -51,7 +53,7 @@ class ToyCorpus:
         self.utterances: list[Utterance] = []
         for i in range(num_utts):
             n_units = rng.randint(min_units, max_units + 1)
-            ids = rng.randint(0, v, size=n_units).tolist()
+            ids = rng.randint(0, draw_v, size=n_units).tolist()
             wav = self._render(ids, rng, noise)
             text = " ".join(self.tokenizer.units[j] for j in ids)
             self.utterances.append(Utterance(f"toy{i:05d}", wav, ids, text))

@@ -1,0 +1,283 @@
+"""Encoder zoo: (B)LSTM, (B)GRU, pyramidal BLSTM, VGG-conv+RNN, pure-CNN,
+multitask taps — the full factory surface of the reference's
+``models/encoders/load_encoder.py`` + ``models/encoders/core/*`` (SURVEY.md
+§2.5), rebuilt as functional JAX on the fused scans in ``rnn.py``.
+
+Registry keys (reference config ``encoder_type``): ``lstm``, ``blstm``,
+``gru``, ``bgru``, ``pyramidal_blstm`` (alias ``pblstm``), ``vgg_blstm``,
+``vgg_lstm``, ``cnn_zhang``, ``multitask_blstm``, ``multitask_lstm``.
+
+TPU notes: pyramidal reduction concatenates adjacent frame pairs between
+layers (LAS-style 2x time halving, so attention sees T/2^(L-1)); VGG blocks
+are NHWC ``lax.conv`` + max-pool lowered straight onto the MXU; everything is
+static-shape with true lengths carried alongside.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rnn import (
+    RNNSpec,
+    bidirectional_scan,
+    dropout,
+    init_bidirectional,
+    init_rnn_params,
+    rnn_scan,
+)
+
+
+class EncoderConfig(NamedTuple):
+    encoder_type: str = "blstm"
+    num_units: int = 256
+    num_layers: int = 2
+    num_proj: int | None = None
+    use_peephole: bool = False
+    clip_activation: float | None = None
+    parameter_init: float = 0.1
+    dropout_keep_prob: float = 1.0  # output keep prob, reference DropoutWrapper
+    # multitask tap: encoder layer index (1-based) whose output feeds the sub head
+    num_layers_sub: int = 1
+    # conv frontends: input is [B, T, freq * channels] with delta features as channels
+    input_channels: int = 3
+    # cnn_zhang fully-connected head widths
+    fc_units: tuple = (1024,)
+
+    @property
+    def bidirectional(self) -> bool:
+        return self.encoder_type in (
+            "blstm", "bgru", "pyramidal_blstm", "pblstm", "vgg_blstm", "multitask_blstm",
+        )
+
+    @property
+    def cell(self) -> str:
+        return "gru" if "gru" in self.encoder_type else "lstm"
+
+    @property
+    def is_pyramidal(self) -> bool:
+        return self.encoder_type in ("pyramidal_blstm", "pblstm")
+
+    @property
+    def has_vgg(self) -> bool:
+        return self.encoder_type in ("vgg_blstm", "vgg_lstm")
+
+    @property
+    def is_multitask(self) -> bool:
+        return self.encoder_type in ("multitask_blstm", "multitask_lstm")
+
+    @property
+    def output_dim(self) -> int:
+        if self.encoder_type == "cnn_zhang":
+            return self.fc_units[-1]
+        d = self.num_proj or self.num_units
+        return d * (2 if self.bidirectional else 1)
+
+    def spec(self) -> RNNSpec:
+        return RNNSpec(
+            cell=self.cell,
+            num_units=self.num_units,
+            num_proj=self.num_proj,
+            use_peephole=self.use_peephole,
+            clip_activation=self.clip_activation,
+        )
+
+
+class EncoderOutput(NamedTuple):
+    outputs: jnp.ndarray  # [B, T', H]
+    lengths: jnp.ndarray  # [B]
+    sub_outputs: jnp.ndarray | None = None  # multitask tap
+    sub_lengths: jnp.ndarray | None = None
+
+
+ENCODER_TYPES = (
+    "lstm", "blstm", "gru", "bgru", "pyramidal_blstm", "pblstm",
+    "vgg_blstm", "vgg_lstm", "cnn_zhang", "multitask_blstm", "multitask_lstm",
+)
+
+
+def _conv_init(key, kh, kw, cin, cout, scale):
+    wkey, _ = jax.random.split(key)
+    fan_in = kh * kw * cin
+    w = jax.random.normal(wkey, (kh, kw, cin, cout)) * jnp.sqrt(2.0 / fan_in)
+    return {"w": w.astype(jnp.float32), "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _conv2d(p, x, stride=(1, 1)):
+    # x: [B, T, F, C] NHWC, SAME padding
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=stride, padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["b"]
+
+
+def _maxpool(x, window, stride):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window[0], window[1], 1), (1, stride[0], stride[1], 1), "SAME",
+    )
+
+
+_VGG_CHANNELS = ((64, 64), (128, 128))  # two blocks, per Hori et al. 2017
+
+
+def _init_vgg(key, cin, scale):
+    params = []
+    keys = jax.random.split(key, sum(len(b) for b in _VGG_CHANNELS))
+    i = 0
+    c = cin
+    for block in _VGG_CHANNELS:
+        bp = []
+        for cout in block:
+            bp.append(_conv_init(keys[i], 3, 3, c, cout, scale))
+            c = cout
+            i += 1
+        params.append(bp)
+    return params
+
+
+def _apply_vgg(params, x, lengths):
+    """x: [B, T, F, C]. Two conv-conv-pool blocks; time and freq halve twice."""
+    for bp in params:
+        for p in bp:
+            x = jax.nn.relu(_conv2d(p, x))
+        x = _maxpool(x, (2, 2), (2, 2))
+    b, t, f, c = x.shape
+    out = x.reshape(b, t, f * c)
+    out_len = -(-lengths // 4)  # two stride-2 pools over time
+    # re-zero the pad region (pooling smears values across the boundary)
+    mask = (jnp.arange(t)[None, :] < out_len[:, None])[..., None]
+    return out * mask, out_len
+
+
+def _split_freq_channels(xs, channels):
+    """[B, T, F*C] with features laid out [static|delta|deltadelta] -> [B, T, F, C]."""
+    b, t, d = xs.shape
+    if d % channels:
+        raise ValueError(f"feature dim {d} not divisible by {channels} channels")
+    f = d // channels
+    return jnp.moveaxis(xs.reshape(b, t, channels, f), 2, 3)
+
+
+def init_encoder(key, cfg: EncoderConfig, input_dim: int):
+    """Build the parameter pytree for the configured encoder."""
+    if cfg.encoder_type not in ENCODER_TYPES:
+        raise ValueError(
+            f"unknown encoder_type {cfg.encoder_type!r}; expected one of {ENCODER_TYPES}"
+        )
+    params = {}
+    spec = cfg.spec()
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    dim = input_dim
+
+    if cfg.has_vgg:
+        params["vgg"] = _init_vgg(keys[-1], cfg.input_channels, cfg.parameter_init)
+        freq = input_dim // cfg.input_channels
+        dim = -(-freq // 4) * _VGG_CHANNELS[-1][-1]
+
+    if cfg.encoder_type == "cnn_zhang":
+        # Zhang et al. 2017-style: conv tower pooling frequency only (time is
+        # preserved for CTC), then per-frame FC stack.
+        conv_channels = (128, 128, 256, 256)
+        ck = jax.random.split(keys[-1], len(conv_channels))
+        c = cfg.input_channels
+        convs = []
+        for i, cout in enumerate(conv_channels):
+            convs.append(_conv_init(ck[i], 5, 3, c, cout, cfg.parameter_init))
+            c = cout
+        params["convs"] = convs
+        freq = input_dim // cfg.input_channels
+        pooled_freq = freq
+        for i in range(len(conv_channels)):
+            if i % 2 == 1:
+                pooled_freq = -(-pooled_freq // 2)
+        dim = pooled_freq * conv_channels[-1]
+        fcs = []
+        fk = jax.random.split(keys[0], len(cfg.fc_units))
+        for i, width in enumerate(cfg.fc_units):
+            fcs.append({
+                "w": jax.random.uniform(fk[i], (dim, width), jnp.float32,
+                                        -cfg.parameter_init, cfg.parameter_init),
+                "b": jnp.zeros((width,), jnp.float32),
+            })
+            dim = width
+        params["fcs"] = fcs
+        return params
+
+    layers = []
+    for layer in range(cfg.num_layers):
+        if cfg.bidirectional:
+            layers.append(init_bidirectional(keys[layer], spec, dim, cfg.parameter_init))
+            dim = 2 * spec.out_dim
+        else:
+            layers.append(init_rnn_params(keys[layer], spec, dim, cfg.parameter_init))
+            dim = spec.out_dim
+        if cfg.is_pyramidal and layer < cfg.num_layers - 1:
+            dim = dim * 2  # adjacent-pair concat before the next layer
+    params["layers"] = layers
+    return params
+
+
+def _pyramid_reduce(xs, lengths):
+    """Concat adjacent frame pairs: [B, T, H] -> [B, ceil(T/2), 2H]."""
+    b, t, h = xs.shape
+    if t % 2:
+        xs = jnp.pad(xs, ((0, 0), (0, 1), (0, 0)))
+        t += 1
+    out = xs.reshape(b, t // 2, 2 * h)
+    new_len = -(-lengths // 2)
+    mask = (jnp.arange(t // 2)[None, :] < new_len[:, None])[..., None]
+    return out * mask, new_len
+
+
+def apply_encoder(
+    params,
+    cfg: EncoderConfig,
+    xs: jnp.ndarray,  # [B, T, D]
+    lengths: jnp.ndarray,  # [B]
+    train: bool = False,
+    rng: jax.Array | None = None,
+) -> EncoderOutput:
+    spec = cfg.spec()
+    drop_keys = (
+        jax.random.split(rng, cfg.num_layers) if (train and rng is not None) else None
+    )
+
+    if cfg.encoder_type == "cnn_zhang":
+        x = _split_freq_channels(xs, cfg.input_channels)
+        for i, p in enumerate(params["convs"]):
+            x = jax.nn.relu(_conv2d(p, x))
+            if i % 2 == 1:
+                x = _maxpool(x, (1, 2), (1, 2))  # pool frequency only
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        for i, p in enumerate(params["fcs"]):
+            x = jnp.matmul(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+            if i < len(params["fcs"]) - 1:
+                x = jax.nn.relu(x)
+            if drop_keys is not None:
+                x = dropout(drop_keys[min(i, cfg.num_layers - 1)], x, cfg.dropout_keep_prob, train)
+        mask = (jnp.arange(t)[None, :] < lengths[:, None])[..., None]
+        return EncoderOutput(x * mask, lengths)
+
+    if cfg.has_vgg:
+        x = _split_freq_channels(xs, cfg.input_channels)
+        xs, lengths = _apply_vgg(params["vgg"], x, lengths)
+
+    sub_outputs = sub_lengths = None
+    for layer, p in enumerate(params["layers"]):
+        if cfg.bidirectional:
+            xs = bidirectional_scan(p, spec, xs, lengths)
+        else:
+            xs, _ = rnn_scan(p, spec, xs, lengths)
+        if drop_keys is not None:
+            xs = dropout(drop_keys[layer], xs, cfg.dropout_keep_prob, train)
+        if cfg.is_multitask and layer + 1 == cfg.num_layers_sub:
+            sub_outputs, sub_lengths = xs, lengths
+        if cfg.is_pyramidal and layer < cfg.num_layers - 1:
+            xs, lengths = _pyramid_reduce(xs, lengths)
+    return EncoderOutput(xs, lengths, sub_outputs, sub_lengths)

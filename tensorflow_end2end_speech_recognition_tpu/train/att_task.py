@@ -1,0 +1,133 @@
+"""Attention / joint CTC-attention task: loss + jitted train/eval steps.
+
+Mirrors ``ctc_task.py`` for the seq2seq models (reference train_attention.py
+do_train, SURVEY.md §3.2): label smoothing cross-entropy over the masked
+label axis, optional joint CTC term (λ mix), scheduled-sampling probability
+ramped by global step — all inside one donated jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.seq2seq import Seq2SeqConfig, forward_train, greedy_decode, init_seq2seq
+from ..ops.ctc import ctc_loss
+from ..ops.losses import joint_loss, l2_weight_decay, smoothed_cross_entropy
+from .ctc_task import device_pipeline
+from .optimizer import apply_updates
+from ..frontend.features import FrontendConfig
+
+
+class AttTaskConfig(NamedTuple):
+    model: Seq2SeqConfig
+    frontend: FrontendConfig | None = FrontendConfig()
+    num_stack: int = 1
+    num_skip: int = 1
+    splice: int = 0
+    weight_decay: float = 0.0
+    label_smoothing: float = 0.0
+    ctc_impl: str = "scan"
+    scheduled_sampling_ramp_max_step: int = 0
+
+    @property
+    def input_dim(self) -> int:
+        base = self.frontend.feature_dim if self.frontend else None
+        if base is None:
+            raise ValueError("input_dim undefined for precomputed features; pass it explicitly")
+        return base * self.num_stack * (2 * self.splice + 1)
+
+
+def init_params(key, task: AttTaskConfig, input_dim: int | None = None):
+    return init_seq2seq(key, task.model, input_dim or task.input_dim)
+
+
+def make_decoder_io(cfg: Seq2SeqConfig, labels: jnp.ndarray, label_len: jnp.ndarray):
+    """labels [B,U] (-1 pad) -> (labels_in [B,U+1], targets [B,U+1], mask).
+
+    ``labels_in`` = [<sos>, l1..lU] (pad filled with <eos>); ``targets`` =
+    [l1..lU, <eos> at position label_len]; mask covers label_len+1 positions.
+    """
+    b, u = labels.shape
+    safe = jnp.where(labels >= 0, labels, cfg.eos_id)
+    labels_in = jnp.concatenate(
+        [jnp.full((b, 1), cfg.sos_id, labels.dtype), safe], axis=1
+    )
+    pos = jnp.arange(u + 1)[None, :]
+    targets = jnp.concatenate([safe, jnp.full((b, 1), cfg.eos_id, labels.dtype)], axis=1)
+    targets = jnp.where(pos == label_len[:, None], cfg.eos_id, targets)
+    mask = pos <= label_len[:, None]
+    targets = jnp.where(mask, targets, -1)
+    return labels_in, targets, mask.astype(jnp.float32)
+
+
+def scheduled_sampling_prob(task: AttTaskConfig, step):
+    base = task.model.scheduled_sampling_prob
+    ramp = task.scheduled_sampling_ramp_max_step
+    if base == 0.0:
+        return 0.0
+    if ramp <= 0:
+        return base
+    return base * jnp.minimum(step / ramp, 1.0)
+
+
+def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
+    cfg = task.model
+    feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+    labels_in, targets, mask = make_decoder_io(cfg, batch["labels"], batch["label_len"])
+    out = forward_train(
+        params, cfg, feats, feat_len, labels_in, rng,
+        ss_prob=scheduled_sampling_prob(task, step) if train else 0.0,
+    )
+    att_nll = jnp.mean(smoothed_cross_entropy(out.logits, targets, mask, task.label_smoothing))
+    aux = {"att_nll": att_nll}
+    loss = att_nll
+    if cfg.is_joint:
+        ctc_nll = jnp.mean(
+            ctc_loss(
+                out.ctc_logits, out.ctc_logit_len, batch["labels"], batch["label_len"],
+                blank_id=cfg.num_classes, impl=task.ctc_impl,
+            )
+        )
+        aux["ctc_nll"] = ctc_nll
+        loss = joint_loss(ctc_nll, att_nll, cfg.ctc_loss_weight)
+    if task.weight_decay:
+        loss = loss + l2_weight_decay(params, task.weight_decay)
+    aux["loss"] = loss
+    return loss, aux
+
+
+def make_train_step(task: AttTaskConfig, optimizer):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, lr, rng, step):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: forward_loss(p, task, batch, train=True, rng=rng, step=step),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = apply_updates(params, updates, lr)
+        return params, opt_state, aux
+
+    return train_step
+
+
+def make_eval_step(task: AttTaskConfig):
+    """Greedy decode + teacher-forced nll for dev tracking."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        cfg = task.model
+        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        out = greedy_decode(params, cfg, feats, feat_len)
+        # predicted_ids are eos-filled after finish; length = first-eos index
+        preds = out.predicted_ids
+        is_eos = preds == cfg.eos_id
+        seen = jnp.cumsum(is_eos, axis=1) > 0
+        dec_len = jnp.sum(~seen, axis=1)
+        preds = jnp.where(seen, -1, preds)
+        return preds, dec_len
+
+    return eval_step

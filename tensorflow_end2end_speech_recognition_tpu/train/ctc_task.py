@@ -1,0 +1,114 @@
+"""CTC task: device-side input pipeline + loss + jitted train/eval steps.
+
+This is the TPU-native replacement for the reference's per-step
+``sess.run([train_op, loss], feed_dict)`` pattern (``train_ctc.py`` do_train,
+SURVEY.md §3.1): one jitted, donated function computes
+frontend -> stacking -> splicing -> encoder -> CTC loss -> grads -> update
+entirely on device; the host only feeds numpy batches and a scalar LR.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.frame_ops import splice_frames, stack_frames
+from ..decoding.ctc_greedy import ctc_greedy_decode
+from ..frontend.features import FrontendConfig, extract_features
+from ..models.ctc import CTCConfig, apply_ctc, init_ctc
+from ..ops.ctc import ctc_loss
+from ..ops.losses import l2_weight_decay
+from .optimizer import apply_updates
+
+
+class CTCTaskConfig(NamedTuple):
+    model: CTCConfig
+    frontend: FrontendConfig | None = FrontendConfig()  # None => precomputed features
+    num_stack: int = 1
+    num_skip: int = 1
+    splice: int = 0
+    weight_decay: float = 0.0
+    ctc_impl: str = "scan"
+    # multitask (hierarchical) CTC
+    main_task_weight: float = 1.0
+
+    @property
+    def input_dim(self) -> int:
+        base = self.frontend.feature_dim if self.frontend else None
+        if base is None:
+            raise ValueError("input_dim undefined for precomputed features; pass it explicitly")
+        return base * self.num_stack * (2 * self.splice + 1)
+
+
+def device_pipeline(task: CTCTaskConfig, inputs: jnp.ndarray, input_len: jnp.ndarray):
+    """Raw batch -> model-ready features, fully on device inside the jit."""
+    if task.frontend is not None:
+        feats, feat_len = extract_features(inputs, input_len, task.frontend)
+    else:
+        feats, feat_len = inputs, input_len
+    feats, feat_len = stack_frames(feats, feat_len, task.num_stack, task.num_skip)
+    feats = splice_frames(feats, task.splice)
+    return feats, feat_len
+
+
+def init_params(key, task: CTCTaskConfig, input_dim: int | None = None):
+    return init_ctc(key, task.model, input_dim or task.input_dim)
+
+
+def forward_loss(params, task: CTCTaskConfig, batch, train: bool, rng=None):
+    feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+    out = apply_ctc(params, task.model, feats, feat_len, train=train, rng=rng)
+    nll = ctc_loss(
+        out.logits, out.logit_len, batch["labels"], batch["label_len"],
+        blank_id=task.model.blank_id, impl=task.ctc_impl,
+    )
+    loss = jnp.mean(nll)
+    aux = {"ctc_nll": loss}
+    if out.sub_logits is not None:
+        sub_nll = ctc_loss(
+            out.sub_logits, out.sub_logit_len,
+            batch["labels_sub"], batch["label_len_sub"],
+            blank_id=task.model.num_classes_sub, impl=task.ctc_impl,
+        )
+        w = task.main_task_weight
+        loss = w * loss + (1.0 - w) * jnp.mean(sub_nll)
+        aux["ctc_nll_sub"] = jnp.mean(sub_nll)
+    if task.weight_decay:
+        loss = loss + l2_weight_decay(params, task.weight_decay)
+    aux["loss"] = loss
+    return loss, aux
+
+
+def make_train_step(task: CTCTaskConfig, optimizer):
+    """Jitted, buffer-donated (params, opt_state, batch, lr, rng) -> updated."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, lr, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: forward_loss(p, task, batch, train=True, rng=rng), has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = apply_updates(params, updates, lr)
+        return params, opt_state, aux
+
+    return train_step
+
+
+def make_eval_step(task: CTCTaskConfig):
+    """Jitted greedy-decode step: batch -> (decoded [B,T'], lengths, nll)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        out = apply_ctc(params, task.model, feats, feat_len, train=False)
+        nll = ctc_loss(
+            out.logits, out.logit_len, batch["labels"], batch["label_len"],
+            blank_id=task.model.blank_id, impl=task.ctc_impl,
+        )
+        decoded, dec_len = ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
+        return decoded, dec_len, nll
+
+    return eval_step

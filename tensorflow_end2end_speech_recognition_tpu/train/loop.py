@@ -1,0 +1,149 @@
+"""Training loop: epochs, plateau LR, dev eval, best-on-dev checkpoints.
+
+Rebuilds the reference's per-corpus ``train_ctc.py`` / ``train_attention.py``
+do_train loops (SURVEY.md §3.1/§3.2) as one corpus-agnostic driver: the
+model dir gets a config copy (provenance, as the reference did), a metrics
+CSV, and orbax checkpoints retained by best dev error rate. All compute is
+inside jitted steps; the host loop only moves numpy batches and scalars.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import Dataset, ToyCorpus
+from ..utils.config import ExperimentConfig
+from ..utils.metrics import evaluate_ctc
+from .checkpoint import CheckpointManager
+from .ctc_task import CTCTaskConfig, init_params, make_eval_step, make_train_step
+from .lr_controller import LRController
+from .optimizer import build_optimizer
+
+
+def build_corpus_splits(exp: ExperimentConfig):
+    """Returns (train_utts, dev_utts, test_utts, tokenizer)."""
+    if exp.corpus != "toy" and exp.data_root is None:
+        raise ValueError(
+            f"corpus {exp.corpus!r} requires data_root with precomputed features; "
+            "none is available in this environment, use corpus: toy"
+        )
+    corpus = ToyCorpus(
+        label_type=exp.label_type,
+        num_utts=exp.toy_num_utts,
+        vocab_size=exp.toy_vocab_size,
+        seed=exp.toy_seed,
+    )
+    utts = corpus.utterances
+    n = len(utts)
+    n_dev = max(n // 10, 1)
+    n_test = max(n // 10, 1)
+    train = utts[: n - n_dev - n_test]
+    dev = utts[n - n_dev - n_test : n - n_test]
+    test = utts[n - n_test :]
+    return train, dev, test, corpus.tokenizer
+
+
+def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
+    num_sub = None
+    if exp.model_type == "multitask_ctc":
+        num_sub = tokenizer.num_units  # toy sub task mirrors the main units
+    return CTCTaskConfig(
+        model=exp.ctc_config(tokenizer.num_units, num_sub),
+        frontend=exp.frontend_config(),
+        num_stack=exp.num_stack,
+        num_skip=exp.num_skip,
+        splice=exp.splice,
+        weight_decay=exp.weight_decay,
+        main_task_weight=exp.main_task_weight,
+    )
+
+
+def _to_device_batch(batch, multitask: bool):
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+    if multitask:
+        jbatch["labels_sub"] = jbatch["labels"]
+        jbatch["label_len_sub"] = jbatch["label_len"]
+    return jbatch
+
+
+def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=print):
+    """Train per the experiment config; returns summary dict."""
+    if exp.model_type not in ("ctc", "multitask_ctc"):
+        raise NotImplementedError(f"fit() for model_type={exp.model_type!r} lands with the attention stack")
+    model_dir = Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    exp.to_yaml(model_dir / "config.yml")  # provenance, as the reference saved it
+
+    train_utts, dev_utts, _, tokenizer = build_corpus_splits(exp)
+    train_ds = Dataset(
+        train_utts, exp.batch_size, sort_utt=exp.sort_utt,
+        sort_stop_epoch=exp.sort_stop_epoch, seed=exp.seed,
+    )
+    dev_ds = Dataset(dev_utts, exp.eval_batch_size or exp.batch_size, sort_utt=True)
+
+    task = build_ctc_task(exp, tokenizer)
+    multitask = exp.model_type == "multitask_ctc"
+    params = init_params(jax.random.PRNGKey(exp.seed), task)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print_fn(f"model: {exp.model_type}/{exp.encoder_type} params={n_params:,}")
+
+    opt = build_optimizer(exp.optimizer, exp.clip_grad_norm)
+    opt_state = opt.init(params)
+    train_step = make_train_step(task, opt)
+    eval_step = make_eval_step(task)
+    controller = LRController(
+        exp.learning_rate, exp.decay_start_epoch, exp.decay_rate, exp.decay_patient_epoch
+    )
+    ckpts = CheckpointManager(model_dir / "checkpoints")
+
+    csv_path = model_dir / "metrics.csv"
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerow(["epoch", "step", "train_loss", "dev_error_rate", "lr", "utts_per_sec"])
+
+    rng = jax.random.PRNGKey(exp.seed + 1)
+    lr = controller.lr
+    step = 0
+    best_dev = float("inf")
+    summary = {}
+    for epoch in range(exp.num_epoch):
+        t0 = time.perf_counter()
+        losses = []
+        n_utts = 0
+        for batch in train_ds.batches(epoch):
+            rng, sub = jax.random.split(rng)
+            jbatch = _to_device_batch(batch, multitask)
+            params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub)
+            step += 1
+            n_utts += sum(1 for n in batch["names"] if n is not None)
+            if step % log_every == 0:
+                losses.append(float(aux["loss"]))
+                print_fn(f"epoch {epoch} step {step} loss {losses[-1]:.4f} lr {lr:.2e}")
+        epoch_time = time.perf_counter() - t0
+        dev = evaluate_ctc(eval_step, params, dev_ds, tokenizer, exp.label_type, epoch)
+        ups = n_utts / epoch_time
+        train_loss = float(np.mean(losses)) if losses else float(aux["loss"])
+        print_fn(
+            f"epoch {epoch} done: train_loss {train_loss:.4f} "
+            f"dev_err {dev['error_rate']:.4f} {ups:.1f} utts/s"
+        )
+        with open(csv_path, "a", newline="") as f:
+            csv.writer(f).writerow([epoch, step, train_loss, dev["error_rate"], lr, ups])
+        if dev["error_rate"] < best_dev:
+            best_dev = dev["error_rate"]
+        ckpts.save(epoch, {"params": params}, dev["error_rate"])
+        lr = controller.update(epoch, dev["error_rate"])
+        summary = {
+            "epochs": epoch + 1, "steps": step, "train_loss": train_loss,
+            "dev_error_rate": dev["error_rate"], "best_dev_error_rate": best_dev,
+            "utts_per_sec": ups,
+        }
+    with open(model_dir / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

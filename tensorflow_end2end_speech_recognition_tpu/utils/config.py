@@ -1,0 +1,157 @@
+"""Experiment configuration: reference-shaped YAML -> typed configs.
+
+The reference used bare ``yaml.load`` dicts with per-corpus key conventions
+(SURVEY.md §5.6, Appendix A) and saved a copy of the config into the model
+dir as provenance. This module accepts those key names verbatim (interface
+parity per BASELINE.json), fills reference defaults, and materializes the
+typed task configs used by the jitted steps. Unknown keys raise — silent
+typos in experiment configs are how results get corrupted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import yaml
+
+from ..frontend.features import FrontendConfig
+from ..models.ctc import CTCConfig
+from ..models.encoders import EncoderConfig
+
+
+@dataclass
+class ExperimentConfig:
+    # experiment identity
+    model_type: str = "ctc"  # ctc | multitask_ctc | attention | joint_ctc_attention
+    corpus: str = "toy"  # toy | timit | librispeech | csj
+    label_type: str = "phone61"
+    label_type_sub: str | None = None  # multitask sub-task units
+    train_data_size: str | None = None  # librispeech train100h/460h/960h etc.
+    data_root: str | None = None  # precomputed-feature corpora root
+    # features
+    feature: str = "fbank"
+    input_size: int = 40
+    use_energy: bool = True
+    use_delta: bool = True
+    num_stack: int = 1
+    num_skip: int = 1
+    splice: int = 0
+    # encoder
+    encoder_type: str = "blstm"
+    num_units: int = 256
+    num_layers: int = 2
+    num_proj: int | None = None
+    num_layers_sub: int = 1
+    lstm_impl: str | None = None  # accepted for parity; single scan impl here
+    use_peephole: bool = False
+    clip_activation: float | None = None
+    parameter_init: float = 0.1
+    dropout: float = 1.0  # keep-prob, reference DropoutWrapper convention
+    bottleneck_dim: int | None = None
+    # attention decoder (attention/joint models)
+    attention_type: str = "hybrid"
+    attention_dim: int = 128
+    attention_conv_num_channels: int = 10
+    attention_conv_width: int = 101
+    decoder_num_units: int = 256
+    embedding_dim: int = 128
+    scheduled_sampling_prob: float = 0.0
+    scheduled_sampling_ramp_max_step: int = 0
+    label_smoothing_prob: float = 0.0
+    logits_temperature: float = 1.0
+    sharpening_factor: float = 1.0
+    sigmoid_smoothing: bool = False
+    max_decode_length: int = 100
+    dropout_decoder: float = 1.0
+    dropout_embedding: float = 1.0
+    # joint CTC-attention
+    ctc_loss_weight: float = 0.0
+    main_task_weight: float = 0.8
+    # training
+    batch_size: int = 32
+    num_epoch: int = 20
+    optimizer: str = "adam"
+    learning_rate: float = 1e-3
+    decay_start_epoch: int = 5
+    decay_rate: float = 0.9
+    decay_patient_epoch: int = 1
+    clip_grad_norm: float = 5.0
+    weight_decay: float = 0.0
+    sort_utt: bool = True
+    sort_stop_epoch: int | None = None
+    eval_batch_size: int | None = None
+    # decode
+    beam_width: int = 1
+    length_penalty: float = 0.0
+    # toy corpus controls (this environment has no real corpora on disk)
+    toy_num_utts: int = 128
+    toy_vocab_size: int | None = None
+    toy_seed: int = 0
+    # misc
+    seed: int = 0
+    save_interval_epochs: int = 1
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ExperimentConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "ExperimentConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        aliases = {  # reference spellings -> ours
+            "pretrain_stage": None,  # accepted & ignored
+            "num_classes": None,  # derived from label_type
+            "dropout_encoder": "dropout",
+            "dropout_input": None,
+            "attention_weights_tempareture": "sharpening_factor",
+            "logits_tempareture": "logits_temperature",
+        }
+        cfg = {}
+        for k, v in raw.items():
+            if k in fields:
+                cfg[k] = v
+            elif k in aliases:
+                if aliases[k]:
+                    cfg[aliases[k]] = v
+            else:
+                raise KeyError(f"unknown config key {k!r} (see ExperimentConfig)")
+        return cls(**cfg)
+
+    def to_yaml(self, path: str):
+        with open(path, "w") as f:
+            yaml.safe_dump(dataclasses.asdict(self), f, sort_keys=False)
+
+    # ---- derived typed configs -------------------------------------------
+
+    def frontend_config(self) -> FrontendConfig:
+        return FrontendConfig(
+            num_mels=self.input_size,
+            use_energy=self.use_energy,
+            add_deltas=self.use_delta,
+        )
+
+    def encoder_config(self) -> EncoderConfig:
+        return EncoderConfig(
+            encoder_type=self.encoder_type,
+            num_units=self.num_units,
+            num_layers=self.num_layers,
+            num_proj=self.num_proj,
+            use_peephole=self.use_peephole,
+            clip_activation=self.clip_activation,
+            parameter_init=self.parameter_init,
+            dropout_keep_prob=self.dropout,
+            num_layers_sub=self.num_layers_sub,
+            input_channels=3 if self.use_delta else 1,
+        )
+
+    def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:
+        return CTCConfig(
+            encoder=self.encoder_config(),
+            num_classes=num_classes,
+            bottleneck_dim=self.bottleneck_dim,
+            num_classes_sub=num_classes_sub,
+            main_task_weight=self.main_task_weight,
+        )

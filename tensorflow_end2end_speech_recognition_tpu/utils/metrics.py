@@ -1,0 +1,60 @@
+"""Corpus-level PER/CER/WER evaluation loops.
+
+Reference parity: ``experiments/<corpus>/metrics/{ctc,attention}.py``
+``do_eval_per/do_eval_cer/do_eval_wer`` (SURVEY.md §2.7): iterate a dataset,
+run the decode op, map indices to tokens, fold TIMIT phones to 39 before
+scoring, accumulate corpus-level error rates. Decode runs on device in
+batches; only the tiny integer results cross to the host.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.tokenizers import PhoneTokenizer, Tokenizer
+from .edit_distance import compute_per, compute_wer
+
+
+def ids_to_tokens(ids, tokenizer: Tokenizer) -> list[str]:
+    return tokenizer.decode([int(i) for i in ids])
+
+
+def score_pair(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
+    """Returns (edit_distance_numerator, ref_length_denominator)."""
+    ref = ids_to_tokens(ref_ids, tokenizer)
+    hyp = ids_to_tokens(hyp_ids, tokenizer)
+    if label_type.startswith("phone") and isinstance(tokenizer, PhoneTokenizer):
+        ref = tokenizer.fold_for_scoring(ref)
+        hyp = tokenizer.fold_for_scoring(hyp)
+        err = compute_per(ref, hyp, normalize=False)
+        return err, max(len(ref), 1)
+    if label_type.startswith("word"):
+        err = compute_wer(" ".join(ref), " ".join(hyp), normalize=False)
+        return err, max(len(ref), 1)
+    # character-level: CER over the joined string
+    ref_s, hyp_s = "".join(ref), "".join(hyp)
+    from .edit_distance import compute_cer
+
+    return compute_cer(ref_s, hyp_s, normalize=False), max(len(ref_s), 1)
+
+
+def evaluate_ctc(eval_step, params, dataset, tokenizer: Tokenizer, label_type: str, epoch: int = 0):
+    """Run greedy decode over a dataset; returns dict with error rate + loss."""
+    total_err = total_len = 0
+    losses = []
+    for batch in dataset.batches(epoch):
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+        decoded, dec_len, nll = eval_step(params, jbatch)
+        decoded, dec_len = np.asarray(decoded), np.asarray(dec_len)
+        for i, name in enumerate(batch["names"]):
+            if name is None:  # batch filler
+                continue
+            ref_ids = [j for j in batch["labels"][i] if j >= 0]
+            hyp_ids = decoded[i][: dec_len[i]]
+            err, n = score_pair(ref_ids, hyp_ids, tokenizer, label_type)
+            total_err += err
+            total_len += n
+            losses.append(float(nll[i]))
+    rate = total_err / max(total_len, 1)
+    return {"error_rate": rate, "loss": float(np.mean(losses)) if losses else float("nan")}
