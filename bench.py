@@ -1,0 +1,96 @@
+"""Headline benchmark: LS-960-shape BLSTM-CTC training throughput on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "utterances/sec/chip", "vs_baseline": N}
+
+The metric matches BASELINE.json: utterances/sec/chip for LibriSpeech-960-
+shape BLSTM-CTC training (5x BLSTM-512, 40-mel fbank + deltas frontend,
+3/3 frame stacking, batch 32, ~12 s utterances), full train step (frontend +
+encoder + CTC loss + grads + adam update) on device. ``vs_baseline`` divides
+by the measured TF1-CPU reference step (benchmarks/tf1_cpu_baseline.json;
+see benchmarks/tf1_cpu_baseline.py for the faithful TF1 graph-mode setup).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    from tensorflow_end2end_speech_recognition_tpu.utils.jax_setup import setup
+
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import (
+        CTCTaskConfig,
+        init_params,
+        make_train_step,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train.optimizer import build_optimizer
+
+    batch, seconds, sr = 32, 12, 16000
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="blstm", num_units=512, num_layers=5),
+            num_classes=28,
+        ),
+        frontend=FrontendConfig(use_energy=False),  # 40 mel x3 deltas = 120 (LS shape)
+        num_stack=3,
+        num_skip=3,
+    )
+    rng = np.random.RandomState(0)
+    jbatch = {
+        "inputs": jnp.asarray(rng.randn(batch, seconds * sr).astype(np.float32) * 0.1),
+        "input_len": jnp.full((batch,), seconds * sr, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 28, (batch, 40)).astype(np.int32)),
+        "label_len": jnp.full((batch,), 40, jnp.int32),
+    }
+    params = init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("adam", clip_grad_norm=5.0)
+    opt_state = opt.init(params)
+    step = make_train_step(task, opt)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile. NOTE: on this environment's experimental remote TPU
+    # backend, jax.block_until_ready returns before execution completes;
+    # fetching the scalar (float()) is the only reliable synchronization.
+    params, opt_state, aux = step(params, opt_state, jbatch, 1e-3, key)
+    float(aux["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, jbatch, 1e-3, sub)
+    float(aux["loss"])  # sync on the full dependency chain
+    dt = (time.perf_counter() - t0) / n_steps
+    utts_per_sec = batch / dt
+
+    baseline_path = Path(__file__).parent / "benchmarks" / "tf1_cpu_baseline.json"
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())["value"]
+    else:
+        baseline = float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "ls960_blstm_ctc_train_throughput",
+                "value": round(utts_per_sec, 2),
+                "unit": "utterances/sec/chip",
+                "vs_baseline": round(utts_per_sec / baseline, 2) if baseline == baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Batched CTC prefix beam search, fully on device.
+
+Replaces the reference's ``tf.nn.ctc_beam_search_decoder`` (single-threaded
+C++ **CPU** kernel, SURVEY.md §2.8) with a TPU-resident design: the beam is a
+fixed-width tensor program — no hashes maps, no ragged work — so the whole
+search jits and scans over time.
+
+Per frame, candidates are generated for every live prefix:
+- **stay** (the prefix absorbs a blank, or repeats its last char), and
+- **extend** with one of the top-K non-blank classes.
+
+Prefix identity is tracked with two independent 32-bit rolling hashes
+(collision probability ~2^-64 per pair); duplicate candidates produced by
+different parents (the classic prefix-merge) are combined with an O(N^2)
+equality-masked logsumexp, N = W*(K+1) — small, dense, VPU-friendly — then
+``lax.top_k`` keeps the best W by combined (blank + non-blank) mass.
+
+An optional shallow-fusion hook adds ``lm_weight * logp_lm(c | prefix)`` to
+extension candidates; the LM advances per accepted token via its own carried
+state (see ``decoding/lm_fusion.py``).
+
+Reference pattern sources for the merge-by-sort/top-k shape: PAPERS.md #1/#2
+(GPU CTC decoding). Algorithm follows Hannun et al.'s prefix beam search.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1e30
+_H1_MULT = jnp.uint32(2654435761)  # Knuth multiplicative
+_H2_MULT = jnp.uint32(40503)
+
+
+class BeamState(NamedTuple):
+    prefixes: jnp.ndarray  # [B, W, L] int32, -1 padded
+    lengths: jnp.ndarray  # [B, W]
+    last: jnp.ndarray  # [B, W] last char (-1 if empty)
+    h1: jnp.ndarray  # [B, W] uint32 rolling hash 1
+    h2: jnp.ndarray  # [B, W] uint32 rolling hash 2
+    pb: jnp.ndarray  # [B, W] log prob ending in blank
+    pnb: jnp.ndarray  # [B, W] log prob ending in non-blank
+    lm_score: jnp.ndarray  # [B, W] accumulated LM log prob (0 without LM)
+
+
+def ctc_prefix_beam_search(
+    logits: jnp.ndarray,  # [B, T, C]
+    logit_len: jnp.ndarray,  # [B]
+    blank_id: int,
+    beam_width: int = 20,
+    top_k_classes: int | None = None,
+    max_prefix_len: int | None = None,
+    lm_logp_fn=None,  # (prefixes [B,W,L], lengths [B,W]) -> logp [B,W,C]
+    lm_weight: float = 0.0,
+):
+    """Returns (prefixes [B, W, L], lengths [B, W], scores [B, W]) sorted best-first.
+
+    Scores are total log probabilities log(p_blank + p_nonblank) (+ weighted
+    LM score when fusion is active).
+    """
+    b, t, c = logits.shape
+    w = beam_width
+    k = min(top_k_classes or 16, c - 1)
+    l_max = max_prefix_len or t
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    state = BeamState(
+        prefixes=jnp.full((b, w, l_max), -1, jnp.int32),
+        lengths=jnp.zeros((b, w), jnp.int32),
+        last=jnp.full((b, w), -1, jnp.int32),
+        h1=jnp.zeros((b, w), jnp.uint32),
+        h2=jnp.zeros((b, w), jnp.uint32),
+        pb=jnp.full((b, w), _NEG).at[:, 0].set(0.0),
+        pnb=jnp.full((b, w), _NEG),
+        lm_score=jnp.zeros((b, w)),
+    )
+
+    def step(state, ti):
+        lp = log_probs[:, ti]  # [B, C]
+        lp_blank = lp[:, blank_id]  # [B]
+        lp_nb = lp.at[:, blank_id].set(_NEG)
+        top_lp, top_idx = jax.lax.top_k(lp_nb, k)  # [B, K]
+
+        # ---- stay candidates (W) ------------------------------------------
+        stay_pb = jnp.logaddexp(state.pb, state.pnb) + lp_blank[:, None]
+        lp_last = jnp.take_along_axis(lp, jnp.maximum(state.last, 0), axis=-1)
+        stay_pnb = jnp.where(state.last >= 0, state.pnb + lp_last, _NEG)
+
+        # ---- extension candidates (W*K) -----------------------------------
+        # parent (b, w) extended with class top_idx[b, j]
+        ext_c = jnp.broadcast_to(top_idx[:, None, :], (b, w, k))  # [B, W, K]
+        ext_lp = jnp.broadcast_to(top_lp[:, None, :], (b, w, k))
+        same_as_last = ext_c == state.last[..., None]
+        base = jnp.where(
+            same_as_last, state.pb[..., None],
+            jnp.logaddexp(state.pb[..., None], state.pnb[..., None]),
+        )
+        ext_pnb = base + ext_lp
+        # dead parents must not spawn candidates
+        parent_dead = jnp.maximum(state.pb, state.pnb) <= _NEG / 2
+        ext_pnb = jnp.where(parent_dead[..., None], _NEG, ext_pnb)
+        # full prefixes cannot extend further
+        ext_pnb = jnp.where((state.lengths >= l_max)[..., None], _NEG, ext_pnb)
+        if lm_logp_fn is not None and lm_weight:
+            lm_lp = lm_logp_fn(state.prefixes, state.lengths)  # [B, W, C]
+            ext_lm = jnp.take_along_axis(lm_lp, ext_c, axis=-1)  # [B, W, K]
+        else:
+            ext_lm = jnp.zeros((b, w, k))
+
+        cu = jnp.uint32(1)
+        ext_h1 = state.h1[..., None] * _H1_MULT + ext_c.astype(jnp.uint32) + cu
+        ext_h2 = state.h2[..., None] * _H2_MULT + ext_c.astype(jnp.uint32) + cu
+
+        # ---- concatenate candidate sets -----------------------------------
+        n = w + w * k
+        cand_pb = jnp.concatenate([stay_pb, jnp.full((b, w * k), _NEG)], axis=1)
+        cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(b, w * k)], axis=1)
+        cand_h1 = jnp.concatenate([state.h1, ext_h1.reshape(b, w * k)], axis=1)
+        cand_h2 = jnp.concatenate([state.h2, ext_h2.reshape(b, w * k)], axis=1)
+        cand_parent = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.arange(w)[None], (b, w)),
+                jnp.broadcast_to(jnp.repeat(jnp.arange(w), k)[None], (b, w * k)),
+            ],
+            axis=1,
+        )
+        cand_char = jnp.concatenate(
+            [jnp.full((b, w), -1, jnp.int32), ext_c.reshape(b, w * k)], axis=1
+        )
+        cand_lm = jnp.concatenate(
+            [state.lm_score, (state.lm_score[..., None] + ext_lm).reshape(b, w * k)],
+            axis=1,
+        )
+
+        # ---- merge candidates with identical prefixes ---------------------
+        same = (cand_h1[:, :, None] == cand_h1[:, None, :]) & (
+            cand_h2[:, :, None] == cand_h2[:, None, :]
+        )  # [B, N, N]
+        def masked_lse(v):
+            vm = jnp.where(same, v[:, None, :], _NEG)  # row i gathers dups j
+            m = jnp.max(vm, axis=-1)
+            return m + jnp.log(jnp.sum(jnp.exp(vm - m[..., None]), axis=-1))
+        merged_pb = masked_lse(cand_pb)
+        merged_pnb = masked_lse(cand_pnb)
+        # keep only the first occurrence of each prefix
+        idx = jnp.arange(n)
+        first_dup = jnp.argmax(same, axis=-1)  # first j with same prefix
+        is_first = first_dup == idx[None, :]
+        merged_total = jnp.logaddexp(merged_pb, merged_pnb) + lm_weight * cand_lm
+        merged_total = jnp.where(is_first, merged_total, _NEG)
+
+        # ---- select top-W -------------------------------------------------
+        top_score, sel = jax.lax.top_k(merged_total, w)  # [B, W]
+        sel_parent = jnp.take_along_axis(cand_parent, sel, axis=1)
+        sel_char = jnp.take_along_axis(cand_char, sel, axis=1)
+        gather = lambda v: jnp.take_along_axis(v, sel, axis=1)
+        parent_gather = lambda v: jnp.take_along_axis(v, sel_parent, axis=1)
+
+        new_prefixes = jnp.take_along_axis(
+            state.prefixes, sel_parent[..., None], axis=1
+        )
+        new_len = parent_gather(state.lengths)
+        is_ext = sel_char >= 0
+        # write the new char at position len for extension candidates
+        one_hot_pos = (
+            jnp.arange(l_max)[None, None, :] == new_len[..., None]
+        ) & is_ext[..., None]
+        new_prefixes = jnp.where(one_hot_pos, sel_char[..., None], new_prefixes)
+        new_state = BeamState(
+            prefixes=new_prefixes,
+            lengths=new_len + is_ext.astype(jnp.int32),
+            last=jnp.where(is_ext, sel_char, parent_gather(state.last)),
+            h1=gather(cand_h1),
+            h2=gather(cand_h2),
+            pb=gather(merged_pb),
+            pnb=gather(merged_pnb),
+            lm_score=gather(cand_lm),
+        )
+        # frames past logit_len: carry state unchanged
+        active = (ti < logit_len)[:, None]
+        def sel_active(new, old):
+            bc = active.reshape((b,) + (1,) * (new.ndim - 1))
+            return jnp.where(bc, new, old)
+        merged_state = jax.tree.map(sel_active, new_state, state)
+        return merged_state, None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(t))
+    scores = jnp.logaddexp(state.pb, state.pnb) + lm_weight * state.lm_score
+    order = jnp.argsort(-scores, axis=1)
+    return (
+        jnp.take_along_axis(state.prefixes, order[..., None], axis=1),
+        jnp.take_along_axis(state.lengths, order, axis=1),
+        jnp.take_along_axis(scores, order, axis=1),
+    )

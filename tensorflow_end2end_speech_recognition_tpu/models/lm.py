@@ -1,0 +1,89 @@
+"""LSTM language model for shallow fusion and rescoring.
+
+The reference's LibriSpeech-960 joint config used RNN-LM shallow fusion at
+decode time (BASELINE.json config #5; Hori et al. 2017). This is a compact
+functional LSTM LM over the label vocabulary with a step interface designed
+for beam search: state lives in fixed-shape tensors that beam-parent gathers
+can reindex.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rnn import RNNSpec, _lstm_step, init_rnn_params
+
+
+class LMConfig(NamedTuple):
+    vocab: int  # includes sos/eos ids of the task it fuses with
+    num_units: int = 256
+    embedding_dim: int = 128
+    num_layers: int = 1
+
+
+def init_lm(key, cfg: LMConfig, scale: float = 0.1):
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    layers = []
+    dim = cfg.embedding_dim
+    spec = RNNSpec(cell="lstm", num_units=cfg.num_units)
+    for i in range(cfg.num_layers):
+        layers.append(init_rnn_params(keys[i], spec, dim, scale))
+        dim = cfg.num_units
+    return {
+        "embedding": jax.random.uniform(
+            keys[-2], (cfg.vocab, cfg.embedding_dim), jnp.float32, -scale, scale
+        ),
+        "layers": layers,
+        "out": {
+            "w": jax.random.uniform(keys[-1], (dim, cfg.vocab), jnp.float32, -scale, scale),
+            "b": jnp.zeros((cfg.vocab,), jnp.float32),
+        },
+    }
+
+
+def lm_init_state(cfg: LMConfig, batch: int):
+    return tuple(
+        (jnp.zeros((batch, cfg.num_units)), jnp.zeros((batch, cfg.num_units)))
+        for _ in range(cfg.num_layers)
+    )
+
+
+def lm_step(params, cfg: LMConfig, state, tokens: jnp.ndarray):
+    """Advance the LM by one token. Returns (new_state, logp [B, vocab])."""
+    spec = RNNSpec(cell="lstm", num_units=cfg.num_units)
+    x = params["embedding"][tokens]
+    new_state = []
+    mask = jnp.ones((tokens.shape[0], 1), bool)
+    for layer_params, carry in zip(params["layers"], state):
+        xproj = (
+            jnp.matmul(x, layer_params["wx"], preferred_element_type=jnp.float32)
+            + layer_params["b"]
+        )
+        carry, _ = _lstm_step(spec, layer_params, carry, xproj, mask)
+        x = carry[0]
+        new_state.append(carry)
+    logits = jnp.matmul(x, params["out"]["w"], preferred_element_type=jnp.float32) + params["out"]["b"]
+    return tuple(new_state), jax.nn.log_softmax(logits, axis=-1)
+
+
+def lm_sequence_nll(params, cfg: LMConfig, tokens: jnp.ndarray, lengths: jnp.ndarray, sos_id: int):
+    """Teacher-forced NLL per sequence, [B] (for LM training / rescoring)."""
+    b, u = tokens.shape
+    inputs = jnp.concatenate(
+        [jnp.full((b, 1), sos_id, tokens.dtype), jnp.where(tokens >= 0, tokens, 0)[:, :-1]],
+        axis=1,
+    )
+
+    def body(state, tok):
+        state, logp = lm_step(params, cfg, state, tok)
+        return state, logp
+
+    _, logps = jax.lax.scan(body, lm_init_state(cfg, b), inputs.swapaxes(0, 1))
+    logps = logps.swapaxes(0, 1)  # [B, U, V]
+    tgt = jnp.where(tokens >= 0, tokens, 0)
+    nll = -jnp.take_along_axis(logps, tgt[..., None], axis=-1)[..., 0]
+    mask = (jnp.arange(u)[None, :] < lengths[:, None]).astype(jnp.float32)
+    return jnp.sum(nll * mask, axis=-1)

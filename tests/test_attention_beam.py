@@ -1,0 +1,89 @@
+"""Attention beam search: agreement with greedy at W=1, beam invariants,
+LM fusion effect, joint rescoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_end2end_speech_recognition_tpu.decoding.attention_beam import (
+    attention_beam_search,
+)
+from tensorflow_end2end_speech_recognition_tpu.decoding.joint_rescoring import joint_rescore
+from tensorflow_end2end_speech_recognition_tpu.models.attention import AttentionConfig
+from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+from tensorflow_end2end_speech_recognition_tpu.models.lm import LMConfig, init_lm
+from tensorflow_end2end_speech_recognition_tpu.models.seq2seq import (
+    Seq2SeqConfig,
+    greedy_decode,
+    init_seq2seq,
+)
+
+
+def _cfg(**kw):
+    return Seq2SeqConfig(
+        encoder=EncoderConfig(encoder_type="blstm", num_units=8, num_layers=1),
+        attention=AttentionConfig(attention_type="hybrid", attention_dim=6, conv_width=3, conv_num_channels=2),
+        num_classes=5,
+        decoder_num_units=8,
+        embedding_dim=4,
+        max_decode_length=6,
+        **kw,
+    )
+
+
+def _setup(cfg, b=2, t=10, d=7, seed=0):
+    params = init_seq2seq(jax.random.PRNGKey(seed), cfg, input_dim=d)
+    feats = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, t, d))
+    feat_len = jnp.asarray([t] * (b - 1) + [t - 3])
+    return params, feats, feat_len
+
+
+def test_beam1_matches_greedy():
+    cfg = _cfg()
+    params, feats, feat_len = _setup(cfg)
+    g = greedy_decode(params, cfg, feats, feat_len)
+    r = attention_beam_search(params, cfg, feats, feat_len, beam_width=1)
+    for i in range(feats.shape[0]):
+        greedy_toks = [int(x) for x in np.asarray(g.predicted_ids[i]) if x != cfg.eos_id]
+        beam_toks = [int(x) for x in np.asarray(r.tokens[i, 0][: int(r.lengths[i, 0])])]
+        assert beam_toks == greedy_toks, (beam_toks, greedy_toks)
+
+
+def test_beam_scores_sorted_and_finite():
+    cfg = _cfg()
+    params, feats, feat_len = _setup(cfg)
+    r = attention_beam_search(params, cfg, feats, feat_len, beam_width=4, length_penalty=0.6)
+    s = np.asarray(r.scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-5)  # best-first
+    assert np.all(np.isfinite(s))
+    # wider beam's best raw score >= narrow beam's (search can only improve)
+    r1 = attention_beam_search(params, cfg, feats, feat_len, beam_width=1)
+    assert np.all(np.asarray(r.raw_scores[:, 0]) >= np.asarray(r1.raw_scores[:, 0]) - 1e-5)
+
+
+def test_lm_fusion_changes_scores():
+    cfg = _cfg()
+    params, feats, feat_len = _setup(cfg)
+    lm_cfg = LMConfig(vocab=cfg.vocab, num_units=8, embedding_dim=4)
+    lm_params = init_lm(jax.random.PRNGKey(9), lm_cfg)
+    r0 = attention_beam_search(params, cfg, feats, feat_len, beam_width=3)
+    r1 = attention_beam_search(
+        params, cfg, feats, feat_len, beam_width=3,
+        lm_params=lm_params, lm_cfg=lm_cfg, lm_weight=0.5,
+    )
+    assert not np.allclose(np.asarray(r0.scores), np.asarray(r1.scores))
+
+
+def test_joint_rescoring_reranks():
+    cfg = _cfg(ctc_loss_weight=0.3)
+    params, feats, feat_len = _setup(cfg)
+    r = attention_beam_search(params, cfg, feats, feat_len, beam_width=4)
+    rr = joint_rescore(r, ctc_weight=0.3, blank_id=cfg.num_classes)
+    assert rr.tokens.shape == r.tokens.shape
+    s = np.asarray(rr.scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-5)
+    # the sets of hypotheses are identical; only ranking may change
+    for i in range(r.tokens.shape[0]):
+        a = {tuple(np.asarray(r.tokens[i, j])) for j in range(4)}
+        bset = {tuple(np.asarray(rr.tokens[i, j])) for j in range(4)}
+        assert a == bset
