@@ -1,0 +1,111 @@
+"""Decode entry point: restore a checkpoint and print transcripts.
+
+Reference parity: ``experiments/<corpus>/visualization/decode_*.py`` printed
+decoded hypotheses next to references (SURVEY.md §2.7). Supports greedy,
+CTC prefix beam (``--beam-width``), attention beam, and joint CTC-attention
+rescoring (``--joint-rescore``), all running on device.
+
+    python -m tensorflow_end2end_speech_recognition_tpu.bin.decode \
+        /tmp/model_dir [--beam-width 20] [--joint-rescore] [--num-utts 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..utils.jax_setup import setup as _jax_setup
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import Dataset
+from ..decoding import attention_beam_search, ctc_greedy_decode, ctc_prefix_beam_search, joint_rescore
+from ..models.ctc import apply_ctc
+from ..train.checkpoint import CheckpointManager
+from ..train.ctc_task import device_pipeline
+from ..train.loop import build_corpus_splits, build_task
+from ..utils.config import ExperimentConfig
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model_dir")
+    ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--beam-width", type=int, default=1)
+    ap.add_argument("--joint-rescore", action="store_true")
+    ap.add_argument("--length-penalty", type=float, default=0.0)
+    ap.add_argument("--num-utts", type=int, default=8)
+    ap.add_argument("--data", choices=("dev", "test"), default="test")
+    args = ap.parse_args(argv)
+    _jax_setup()
+
+    model_dir = Path(args.model_dir)
+    exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
+    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
+    utts = dev_utts if args.data == "dev" else test_utts
+    task, task_mod = build_task(exp, tokenizer)
+    params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
+    epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
+        {"params": params}, args.epoch
+    )
+    params = state["params"]
+    is_att = exp.model_type in ("attention", "joint_ctc_attention")
+
+    ds = Dataset(utts[: args.num_utts], min(args.num_utts, len(utts)))
+    batch = next(ds.batches(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+
+    if is_att:
+        cfg = task.model
+
+        @jax.jit
+        def run(params, b):
+            feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
+            return attention_beam_search(
+                params, cfg, feats, fl,
+                beam_width=max(args.beam_width, 1),
+                length_penalty=args.length_penalty,
+            )
+
+        result = run(params, jb)
+        if args.joint_rescore:
+            if not cfg.is_joint:
+                raise SystemExit("--joint-rescore requires a joint_ctc_attention model")
+            result = joint_rescore(
+                result, cfg.ctc_loss_weight, cfg.num_classes, args.length_penalty
+            )
+        hyps = np.asarray(result.tokens[:, 0])
+        hyp_len = np.asarray(result.lengths[:, 0])
+        scores = np.asarray(result.scores[:, 0])
+    else:
+        @jax.jit
+        def run(params, b):
+            feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
+            out = apply_ctc(params, task.model, feats, fl)
+            if args.beam_width > 1:
+                p, l, s = ctc_prefix_beam_search(
+                    out.logits, out.logit_len, task.model.blank_id,
+                    beam_width=args.beam_width,
+                )
+                return p[:, 0], l[:, 0], s[:, 0]
+            d, dl = ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
+            return d, dl, jnp.zeros((d.shape[0],))
+
+        hyps, hyp_len, scores = (np.asarray(x) for x in run(params, jb))
+
+    print(f"# model {exp.model_type}/{exp.encoder_type} epoch {epoch} "
+          f"beam {args.beam_width}{' +joint-rescore' if args.joint_rescore else ''}")
+    for i, name in enumerate(batch["names"]):
+        if name is None:
+            continue
+        ref = " ".join(tokenizer.decode([j for j in batch["labels"][i] if j >= 0]))
+        hyp = " ".join(tokenizer.decode(hyps[i][: hyp_len[i]]))
+        print(f"[{name}] score {scores[i]:.2f}")
+        print(f"  REF: {ref}")
+        print(f"  HYP: {hyp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,7 @@ import jax
 
 from ..data import Dataset
 from ..train.checkpoint import CheckpointManager
-from ..train.ctc_task import init_params, make_eval_step
-from ..train.loop import build_corpus_splits, build_ctc_task
+from ..train.loop import build_corpus_splits, build_task
 from ..utils.config import ExperimentConfig
 from ..utils.metrics import evaluate_ctc
 
@@ -35,13 +34,13 @@ def main(argv=None):
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
     _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
-    task = build_ctc_task(exp, tokenizer)
-    params = init_params(jax.random.PRNGKey(exp.seed), task)
+    task, task_mod = build_task(exp, tokenizer)
+    params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
         {"params": params}, args.epoch
     )
     params = state["params"]
-    eval_step = make_eval_step(task)
+    eval_step = task_mod.make_eval_step(task)
     for name, utts in (("dev", dev_utts), ("test", test_utts)):
         ds = Dataset(utts, exp.eval_batch_size or exp.batch_size)
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)

@@ -45,6 +45,7 @@ class EncoderConfig(NamedTuple):
     input_channels: int = 3
     # cnn_zhang fully-connected head widths
     fc_units: tuple = (1024,)
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-rate gate matmuls
 
     @property
     def bidirectional(self) -> bool:
@@ -82,6 +83,7 @@ class EncoderConfig(NamedTuple):
             num_proj=self.num_proj,
             use_peephole=self.use_peephole,
             clip_activation=self.clip_activation,
+            compute_dtype=self.compute_dtype,
         )
 
 

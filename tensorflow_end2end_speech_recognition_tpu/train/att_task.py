@@ -30,7 +30,7 @@ class AttTaskConfig(NamedTuple):
     splice: int = 0
     weight_decay: float = 0.0
     label_smoothing: float = 0.0
-    ctc_impl: str = "scan"
+    ctc_impl: str = "auto"
     scheduled_sampling_ramp_max_step: int = 0
 
     @property
@@ -128,6 +128,8 @@ def make_eval_step(task: AttTaskConfig):
         seen = jnp.cumsum(is_eos, axis=1) > 0
         dec_len = jnp.sum(~seen, axis=1)
         preds = jnp.where(seen, -1, preds)
-        return preds, dec_len
+        # third slot keeps the (decoded, lengths, per-utt loss) eval-step
+        # contract shared with the CTC task (loss not tracked here)
+        return preds, dec_len, jnp.zeros((preds.shape[0],))
 
     return eval_step

@@ -31,7 +31,7 @@ class CTCTaskConfig(NamedTuple):
     num_skip: int = 1
     splice: int = 0
     weight_decay: float = 0.0
-    ctc_impl: str = "scan"
+    ctc_impl: str = "auto"
     # multitask (hierarchical) CTC
     main_task_weight: float = 1.0
 

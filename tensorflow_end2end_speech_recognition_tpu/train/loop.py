@@ -19,12 +19,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import Dataset, ToyCorpus
+from ..models.attention import AttentionConfig
+from ..models.seq2seq import Seq2SeqConfig
 from ..utils.config import ExperimentConfig
 from ..utils.metrics import evaluate_ctc
+from . import att_task, ctc_task
 from .checkpoint import CheckpointManager
-from .ctc_task import CTCTaskConfig, init_params, make_eval_step, make_train_step
+from .ctc_task import CTCTaskConfig
+from .att_task import AttTaskConfig
 from .lr_controller import LRController
 from .optimizer import build_optimizer
+
+MODEL_TYPES = ("ctc", "multitask_ctc", "attention", "joint_ctc_attention")
 
 
 def build_corpus_splits(exp: ExperimentConfig):
@@ -65,6 +71,48 @@ def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
     )
 
 
+def build_att_task(exp: ExperimentConfig, tokenizer) -> AttTaskConfig:
+    model = Seq2SeqConfig(
+        encoder=exp.encoder_config(),
+        attention=AttentionConfig(
+            attention_type=exp.attention_type,
+            attention_dim=exp.attention_dim,
+            conv_num_channels=exp.attention_conv_num_channels,
+            conv_width=exp.attention_conv_width,
+            sharpening_factor=exp.sharpening_factor,
+            sigmoid_smoothing=exp.sigmoid_smoothing,
+        ),
+        num_classes=tokenizer.num_units,
+        decoder_num_units=exp.decoder_num_units,
+        embedding_dim=exp.embedding_dim,
+        logits_temperature=exp.logits_temperature,
+        scheduled_sampling_prob=exp.scheduled_sampling_prob,
+        max_decode_length=exp.max_decode_length,
+        dropout_decoder_keep_prob=exp.dropout_decoder,
+        dropout_embedding_keep_prob=exp.dropout_embedding,
+        ctc_loss_weight=exp.ctc_loss_weight if exp.model_type == "joint_ctc_attention" else 0.0,
+    )
+    return AttTaskConfig(
+        model=model,
+        frontend=exp.frontend_config(),
+        num_stack=exp.num_stack,
+        num_skip=exp.num_skip,
+        splice=exp.splice,
+        weight_decay=exp.weight_decay,
+        label_smoothing=exp.label_smoothing_prob,
+        scheduled_sampling_ramp_max_step=exp.scheduled_sampling_ramp_max_step,
+    )
+
+
+def build_task(exp: ExperimentConfig, tokenizer):
+    """(task_config, task_module) for the configured model_type."""
+    if exp.model_type not in MODEL_TYPES:
+        raise ValueError(f"unknown model_type {exp.model_type!r}; expected {MODEL_TYPES}")
+    if exp.model_type in ("ctc", "multitask_ctc"):
+        return build_ctc_task(exp, tokenizer), ctc_task
+    return build_att_task(exp, tokenizer), att_task
+
+
 def _to_device_batch(batch, multitask: bool):
     jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
     if multitask:
@@ -75,8 +123,6 @@ def _to_device_batch(batch, multitask: bool):
 
 def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=print):
     """Train per the experiment config; returns summary dict."""
-    if exp.model_type not in ("ctc", "multitask_ctc"):
-        raise NotImplementedError(f"fit() for model_type={exp.model_type!r} lands with the attention stack")
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
     exp.to_yaml(model_dir / "config.yml")  # provenance, as the reference saved it
@@ -88,16 +134,17 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     )
     dev_ds = Dataset(dev_utts, exp.eval_batch_size or exp.batch_size, sort_utt=True)
 
-    task = build_ctc_task(exp, tokenizer)
+    task, task_mod = build_task(exp, tokenizer)
     multitask = exp.model_type == "multitask_ctc"
-    params = init_params(jax.random.PRNGKey(exp.seed), task)
+    is_att = exp.model_type in ("attention", "joint_ctc_attention")
+    params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print_fn(f"model: {exp.model_type}/{exp.encoder_type} params={n_params:,}")
 
     opt = build_optimizer(exp.optimizer, exp.clip_grad_norm)
     opt_state = opt.init(params)
-    train_step = make_train_step(task, opt)
-    eval_step = make_eval_step(task)
+    train_step = task_mod.make_train_step(task, opt)
+    eval_step = task_mod.make_eval_step(task)
     controller = LRController(
         exp.learning_rate, exp.decay_start_epoch, exp.decay_rate, exp.decay_patient_epoch
     )
@@ -119,7 +166,10 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         for batch in train_ds.batches(epoch):
             rng, sub = jax.random.split(rng)
             jbatch = _to_device_batch(batch, multitask)
-            params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub)
+            if is_att:
+                params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub, step)
+            else:
+                params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub)
             step += 1
             n_utts += sum(1 for n in batch["names"] if n is not None)
             if step % log_every == 0:
@@ -146,4 +196,10 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         }
     with open(model_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
+    try:  # loss/ler curve PNGs, as the reference wrote into its model dir
+        from ..utils.plot import plot_training_curves
+
+        plot_training_curves(model_dir)
+    except Exception as e:  # plotting must never kill a finished run
+        print_fn(f"plotting failed: {e}")
     return summary

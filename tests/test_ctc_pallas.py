@@ -1,0 +1,51 @@
+"""Pallas CTC kernel vs the scan implementation (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflow_end2end_speech_recognition_tpu.ops.ctc import ctc_loss
+from tensorflow_end2end_speech_recognition_tpu.ops.pallas.ctc_kernel import (
+    _ctc_fwd_impl,
+    ctc_loss_pallas,
+)
+
+
+def _case(b=3, t=16, u=5, c=7, seed=0):
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32) * 2)
+    logit_len = jnp.asarray(([t, t - 4, t - 9] * b)[:b])
+    labels = np.full((b, u), -1, np.int32)
+    label_len = np.asarray(([u, u - 2, 1] * b)[:b])
+    for i in range(b):
+        labels[i, : label_len[i]] = rng.randint(0, c - 1, label_len[i])
+    return logits, logit_len, jnp.asarray(labels), jnp.asarray(label_len), c - 1
+
+
+def test_pallas_loss_matches_scan_interpret():
+    logits, logit_len, labels, label_len, blank = _case()
+    loss_p, grad_p = _ctc_fwd_impl(logits, logit_len, labels, label_len, blank, interpret=True)
+    loss_s = ctc_loss(logits, logit_len, labels, label_len, blank, impl="scan")
+    np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_s), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_grad_matches_scan_interpret():
+    logits, logit_len, labels, label_len, blank = _case(seed=3)
+    _, grad_p = _ctc_fwd_impl(logits, logit_len, labels, label_len, blank, interpret=True)
+    grad_s = jax.grad(
+        lambda l: ctc_loss(l, logit_len, labels, label_len, blank, "scan").sum()
+    )(logits)
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_s), atol=2e-3)
+
+
+def test_pallas_repeated_labels_interpret():
+    c, blank = 5, 4
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(1, 12, c).astype(np.float32))
+    labels = jnp.asarray([[2, 2, 1, 1]])
+    lens = jnp.asarray([12])
+    llen = jnp.asarray([4])
+    loss_p, _ = _ctc_fwd_impl(logits, lens, labels, llen, blank, interpret=True)
+    loss_s = ctc_loss(logits, lens, labels, llen, blank, "scan")
+    np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_s), rtol=1e-4)
