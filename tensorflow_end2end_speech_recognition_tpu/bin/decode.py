@@ -38,8 +38,16 @@ def main(argv=None):
     ap.add_argument("--length-penalty", type=float, default=0.0)
     ap.add_argument("--num-utts", type=int, default=8)
     ap.add_argument("--data", choices=("dev", "test"), default="test")
+    ap.add_argument("--lm-dir", default=None, help="RNN-LM dir from bin.train_lm")
+    ap.add_argument("--lm-weight", type=float, default=0.3)
     args = ap.parse_args(argv)
     _jax_setup()
+
+    lm_params = lm_cfg = None
+    if args.lm_dir:
+        from .train_lm import load_lm
+
+        lm_params, lm_cfg = load_lm(args.lm_dir)
 
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
@@ -67,6 +75,8 @@ def main(argv=None):
                 params, cfg, feats, fl,
                 beam_width=max(args.beam_width, 1),
                 length_penalty=args.length_penalty,
+                lm_params=lm_params, lm_cfg=lm_cfg,
+                lm_weight=args.lm_weight if lm_params is not None else 0.0,
             )
 
         result = run(params, jb)
@@ -80,6 +90,19 @@ def main(argv=None):
         hyp_len = np.asarray(result.lengths[:, 0])
         scores = np.asarray(result.scores[:, 0])
     else:
+        lm_fn = None
+        if lm_params is not None:
+            from ..models.lm import lm_prefix_logp
+
+            def lm_fn(prefixes, lengths):
+                lp = lm_prefix_logp(lm_params, lm_cfg, prefixes, lengths,
+                                    sos_id=lm_cfg.vocab - 2)
+                # LM vocab = units+sos+eos; CTC classes = units+blank.
+                # real units align; blank gets a zero LM score.
+                c = task.model.vocab_with_blank
+                units = lp[..., : c - 1]
+                return jnp.concatenate([units, jnp.zeros_like(units[..., :1])], -1)
+
         @jax.jit
         def run(params, b):
             feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
@@ -88,6 +111,8 @@ def main(argv=None):
                 p, l, s = ctc_prefix_beam_search(
                     out.logits, out.logit_len, task.model.blank_id,
                     beam_width=args.beam_width,
+                    lm_logp_fn=lm_fn,
+                    lm_weight=args.lm_weight if lm_fn is not None else 0.0,
                 )
                 return p[:, 0], l[:, 0], s[:, 0]
             d, dl = ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)

@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("config", help="YAML experiment config (reference key names accepted)")
     ap.add_argument("model_dir", help="directory for checkpoints/logs/config copy")
     ap.add_argument("--epochs", type=int, default=None, help="override num_epoch")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 2-5 into the model dir")
     args = ap.parse_args(argv)
     _jax_setup()
 
@@ -30,7 +32,7 @@ def main(argv=None):
         import dataclasses
 
         exp = dataclasses.replace(exp, num_epoch=args.epochs)
-    summary = fit(exp, args.model_dir)
+    summary = fit(exp, args.model_dir, profile_steps=(2, 5) if args.profile else None)
     print("FINAL", summary)
 
 

@@ -99,32 +99,22 @@ class Dataset:
         in_lens = [self._input_lens[i] for i in idx]
         t_pad = pad_to_ladder(max(in_lens), self.wav_ladder)
         u_pad = pad_to_ladder(max(len(u.label_ids) for u in utts), self.label_ladder)
-        if self.input_kind == "wav":
-            inputs = np.zeros((b, t_pad), dtype=np.float32)
-        else:
-            d = utts[0].wav.shape[-1]
-            inputs = np.zeros((b, t_pad, d), dtype=np.float32)
+        # short final batch: repeat earlier utterances (reference semantics:
+        # batch is full-size; duplicates carry real data so loss stays
+        # well-defined; eval dedups via name=None)
+        fill = [utts[(j - len(utts)) % len(utts)] for j in range(len(utts), b)]
+        all_utts = utts + fill
+        # multithreaded C++ pad+gather (pure-numpy fallback inside)
+        from .native import batch_assemble
+
+        inputs, input_len = batch_assemble([u.wav for u in all_utts], t_pad)
         labels = np.full((b, u_pad), -1, dtype=np.int32)
-        input_len = np.zeros((b,), dtype=np.int32)
         label_len = np.zeros((b,), dtype=np.int32)
         names = []
-        for j, u in enumerate(utts):
-            n = int(self._input_lens[idx[j]])
-            inputs[j, :n] = u.wav
+        for j, u in enumerate(all_utts):
             labels[j, : len(u.label_ids)] = u.label_ids
-            input_len[j] = n
             label_len[j] = len(u.label_ids)
-            names.append(u.name)
-        # short final batch: repeat last utterance (mask via label_len? no —
-        # keep reference semantics: batch is full-size; duplicates carry real
-        # data so loss stays well-defined; eval dedups by name)
-        for j in range(len(utts), b):
-            src = (j - len(utts)) % len(utts)
-            inputs[j] = inputs[src]
-            labels[j] = labels[src]
-            input_len[j] = input_len[src]
-            label_len[j] = label_len[src]
-            names.append(None)
+            names.append(u.name if j < len(utts) else None)
         return {
             "inputs": inputs,
             "labels": labels,

@@ -69,6 +69,32 @@ def lm_step(params, cfg: LMConfig, state, tokens: jnp.ndarray):
     return tuple(new_state), jax.nn.log_softmax(logits, axis=-1)
 
 
+def lm_prefix_logp(params, cfg: LMConfig, prefixes: jnp.ndarray, lengths: jnp.ndarray, sos_id: int):
+    """Next-token log-probs after each prefix: [B, W, L] -> [B, W, vocab].
+
+    Runs the LM over every beam prefix from <sos> and reads the distribution
+    at each prefix's length. Used by CTC prefix-beam shallow fusion (the
+    attention beam carries LM state incrementally instead; this path
+    recomputes because CTC prefixes are rewritten by the merge each frame).
+    """
+    b, w, l = prefixes.shape
+    flat = prefixes.reshape(b * w, l)
+    flat_len = lengths.reshape(b * w)
+    inputs = jnp.concatenate(
+        [jnp.full((b * w, 1), sos_id, flat.dtype), jnp.where(flat >= 0, flat, 0)],
+        axis=1,
+    )
+
+    def body(state, tok):
+        state, logp = lm_step(params, cfg, state, tok)
+        return state, logp
+
+    _, logps = jax.lax.scan(body, lm_init_state(cfg, b * w), inputs.swapaxes(0, 1))
+    logps = logps.swapaxes(0, 1)  # [BW, L+1, V]
+    out = jnp.take_along_axis(logps, flat_len[:, None, None], axis=1)[:, 0]
+    return out.reshape(b, w, cfg.vocab)
+
+
 def lm_sequence_nll(params, cfg: LMConfig, tokens: jnp.ndarray, lengths: jnp.ndarray, sos_id: int):
     """Teacher-forced NLL per sequence, [B] (for LM training / rescoring)."""
     b, u = tokens.shape

@@ -19,6 +19,7 @@ from ..ops.ctc import ctc_loss
 from ..ops.losses import joint_loss, l2_weight_decay, smoothed_cross_entropy
 from .ctc_task import device_pipeline
 from .optimizer import apply_updates
+from ..frontend.augment import SpecAugmentConfig, spec_augment
 from ..frontend.features import FrontendConfig
 
 
@@ -32,6 +33,7 @@ class AttTaskConfig(NamedTuple):
     label_smoothing: float = 0.0
     ctc_impl: str = "auto"
     scheduled_sampling_ramp_max_step: int = 0
+    spec_augment: SpecAugmentConfig | None = None
 
     @property
     def input_dim(self) -> int:
@@ -77,6 +79,9 @@ def scheduled_sampling_prob(task: AttTaskConfig, step):
 def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     cfg = task.model
     feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+    if train and task.spec_augment is not None and rng is not None:
+        rng, aug_rng = jax.random.split(rng)
+        feats = spec_augment(aug_rng, feats, feat_len, task.spec_augment)
     labels_in, targets, mask = make_decoder_io(cfg, batch["labels"], batch["label_len"])
     out = forward_train(
         params, cfg, feats, feat_len, labels_in, rng,
@@ -108,7 +113,10 @@ def make_train_step(task: AttTaskConfig, optimizer):
             has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = apply_updates(params, updates, lr)
+        new_params = apply_updates(params, updates, lr)
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
+        aux["nonfinite"] = jnp.logical_not(ok)
         return params, opt_state, aux
 
     return train_step

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..data.frame_ops import splice_frames, stack_frames
 from ..decoding.ctc_greedy import ctc_greedy_decode
+from ..frontend.augment import SpecAugmentConfig, spec_augment
 from ..frontend.features import FrontendConfig, extract_features
 from ..models.ctc import CTCConfig, apply_ctc, init_ctc
 from ..ops.ctc import ctc_loss
@@ -32,6 +33,7 @@ class CTCTaskConfig(NamedTuple):
     splice: int = 0
     weight_decay: float = 0.0
     ctc_impl: str = "auto"
+    spec_augment: SpecAugmentConfig | None = None  # train-time masking hook
     # multitask (hierarchical) CTC
     main_task_weight: float = 1.0
 
@@ -60,6 +62,9 @@ def init_params(key, task: CTCTaskConfig, input_dim: int | None = None):
 
 def forward_loss(params, task: CTCTaskConfig, batch, train: bool, rng=None):
     feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+    if train and task.spec_augment is not None and rng is not None:
+        rng, aug_rng = jax.random.split(rng)
+        feats = spec_augment(aug_rng, feats, feat_len, task.spec_augment)
     out = apply_ctc(params, task.model, feats, feat_len, train=train, rng=rng)
     nll = ctc_loss(
         out.logits, out.logit_len, batch["labels"], batch["label_len"],
@@ -91,7 +96,12 @@ def make_train_step(task: CTCTaskConfig, optimizer):
             lambda p: forward_loss(p, task, batch, train=True, rng=rng), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = apply_updates(params, updates, lr)
+        new_params = apply_updates(params, updates, lr)
+        # NaN guard (SURVEY.md §5.2): a non-finite loss skips the update
+        # instead of poisoning the weights
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
+        aux["nonfinite"] = jnp.logical_not(ok)
         return params, opt_state, aux
 
     return train_step

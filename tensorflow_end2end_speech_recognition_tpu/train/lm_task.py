@@ -1,0 +1,62 @@
+"""RNN-LM training task (for shallow fusion / rescoring).
+
+The reference's LibriSpeech-960 recipe fused an externally trained RNN-LM at
+decode time (BASELINE.json config #5); here the LM is first-class: trained
+on transcripts with the same loop conventions, checkpointed with orbax, and
+consumed by ``decoding.attention_beam`` / ``decoding.ctc_prefix_beam``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.lm import LMConfig, init_lm, lm_sequence_nll
+from .optimizer import apply_updates
+
+
+class LMTaskConfig(NamedTuple):
+    model: LMConfig
+    weight_decay: float = 0.0
+
+
+def init_params(key, task: LMTaskConfig):
+    return init_lm(key, task.model)
+
+
+def make_train_step(task: LMTaskConfig, optimizer):
+    cfg = task.model
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, lr, rng):
+        def loss_fn(p):
+            nll = lm_sequence_nll(
+                p, cfg, batch["labels"], batch["label_len"], sos_id=cfg.vocab - 2
+            )
+            tokens = jnp.maximum(jnp.sum(batch["label_len"]), 1)
+            return jnp.sum(nll) / tokens  # per-token nll
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = apply_updates(params, updates, lr)
+        ok = jnp.isfinite(loss)
+        params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
+        return params, opt_state, {"loss": loss, "ppl": jnp.exp(loss)}
+
+    return train_step
+
+
+def make_eval_step(task: LMTaskConfig):
+    cfg = task.model
+
+    @jax.jit
+    def eval_step(params, batch):
+        nll = lm_sequence_nll(
+            params, cfg, batch["labels"], batch["label_len"], sos_id=cfg.vocab - 2
+        )
+        return jnp.sum(nll), jnp.sum(batch["label_len"])
+
+    return eval_step

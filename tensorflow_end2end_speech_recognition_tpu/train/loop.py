@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import Dataset, ToyCorpus
+from ..frontend.augment import SpecAugmentConfig
 from ..models.attention import AttentionConfig
 from ..models.seq2seq import Seq2SeqConfig
 from ..utils.config import ExperimentConfig
@@ -56,6 +57,17 @@ def build_corpus_splits(exp: ExperimentConfig):
     return train, dev, test, corpus.tokenizer
 
 
+def _specaug(exp: ExperimentConfig):
+    if not exp.use_specaugment:
+        return None
+    return SpecAugmentConfig(
+        freq_mask_width=exp.freq_mask_width,
+        num_freq_masks=exp.num_freq_masks,
+        time_mask_frac=exp.time_mask_frac,
+        num_time_masks=exp.num_time_masks,
+    )
+
+
 def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
     num_sub = None
     if exp.model_type == "multitask_ctc":
@@ -68,6 +80,7 @@ def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
         splice=exp.splice,
         weight_decay=exp.weight_decay,
         main_task_weight=exp.main_task_weight,
+        spec_augment=_specaug(exp),
     )
 
 
@@ -101,6 +114,7 @@ def build_att_task(exp: ExperimentConfig, tokenizer) -> AttTaskConfig:
         weight_decay=exp.weight_decay,
         label_smoothing=exp.label_smoothing_prob,
         scheduled_sampling_ramp_max_step=exp.scheduled_sampling_ramp_max_step,
+        spec_augment=_specaug(exp),
     )
 
 
@@ -121,7 +135,7 @@ def _to_device_batch(batch, multitask: bool):
     return jbatch
 
 
-def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=print):
+def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=print, profile_steps: tuple | None = None):
     """Train per the experiment config; returns summary dict."""
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
@@ -166,11 +180,17 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         for batch in train_ds.batches(epoch):
             rng, sub = jax.random.split(rng)
             jbatch = _to_device_batch(batch, multitask)
+            if profile_steps and step == profile_steps[0]:
+                jax.profiler.start_trace(str(model_dir / "trace"))
             if is_att:
                 params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub, step)
             else:
                 params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub)
             step += 1
+            if profile_steps and step == profile_steps[1]:
+                float(aux["loss"])  # sync before stopping the trace
+                jax.profiler.stop_trace()
+                print_fn(f"profiler trace written to {model_dir / 'trace'}")
             n_utts += sum(1 for n in batch["names"] if n is not None)
             if step % log_every == 0:
                 losses.append(float(aux["loss"]))

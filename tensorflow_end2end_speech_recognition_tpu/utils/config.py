@@ -68,6 +68,12 @@ class ExperimentConfig:
     # joint CTC-attention
     ctc_loss_weight: float = 0.0
     main_task_weight: float = 0.8
+    # augmentation (not in the reference; hook per SURVEY.md §7)
+    use_specaugment: bool = False
+    freq_mask_width: int = 8
+    num_freq_masks: int = 2
+    time_mask_frac: float = 0.05
+    num_time_masks: int = 2
     # training
     batch_size: int = 32
     num_epoch: int = 20

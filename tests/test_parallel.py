@@ -1,0 +1,72 @@
+"""Data-parallel training on the virtual 8-device mesh: correctness vs single device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+from tensorflow_end2end_speech_recognition_tpu.parallel import (
+    make_mesh,
+    setup_data_parallel,
+)
+from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import (
+    CTCTaskConfig,
+    init_params,
+    make_train_step,
+)
+from tensorflow_end2end_speech_recognition_tpu.train.optimizer import build_optimizer
+
+
+def _setup():
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="blstm", num_units=8, num_layers=1),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    rng = np.random.RandomState(0)
+    b = 8
+    batch = {
+        "inputs": jnp.asarray(rng.randn(b, 4096).astype(np.float32) * 0.1),
+        "input_len": jnp.full((b,), 4096, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 6, (b, 4)).astype(np.int32)),
+        "label_len": jnp.full((b,), 4, jnp.int32),
+    }
+    params = init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("sgd", clip_grad_norm=None)
+    return task, opt, params, batch
+
+
+def test_dp_matches_single_device():
+    assert len(jax.devices()) >= 8  # conftest forces the 8-device CPU mesh
+    task, opt, params, batch = _setup()
+    step = make_train_step(task, opt)
+
+    # single device
+    p1 = jax.tree.map(jnp.copy, params)
+    s1 = opt.init(p1)
+    p1, s1, aux1 = step(p1, s1, batch, 1e-2, jax.random.PRNGKey(1))
+
+    # 8-way data parallel over the mesh
+    mesh = make_mesh(8)
+    p8 = jax.tree.map(jnp.copy, params)
+    s8 = opt.init(p8)
+    p8, s8, b8 = setup_data_parallel(mesh, p8, s8, batch)
+    p8, s8, aux8 = step(p8, s8, b8, 1e-2, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # params remain replicated on all 8 devices
+    assert len(jax.tree.leaves(p8)[0].sharding.device_set) == 8
+
+
+def test_dp_batch_actually_sharded():
+    task, opt, params, batch = _setup()
+    mesh = make_mesh(8)
+    _, _, b8 = setup_data_parallel(mesh, params, opt.init(params), batch)
+    shard_shapes = {s.data.shape for s in b8["inputs"].addressable_shards}
+    assert shard_shapes == {(1, 4096)}  # 8 rows over 8 devices
