@@ -28,6 +28,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("model_dir")
     ap.add_argument("--epoch", type=int, default=None, help="checkpoint epoch (default: best)")
+    ap.add_argument("--beam-width", type=int, default=None,
+                    help="override config beam_width (1 = greedy)")
     args = ap.parse_args(argv)
     _jax_setup()
 
@@ -40,7 +42,19 @@ def main(argv=None):
         {"params": params}, args.epoch
     )
     params = state["params"]
-    eval_step = task_mod.make_eval_step(task)
+    beam_width = args.beam_width if args.beam_width is not None else exp.beam_width
+    if beam_width and beam_width > 1:
+        if exp.model_type in ("attention", "joint_ctc_attention"):
+            eval_step = task_mod.make_beam_eval_step(
+                task, beam_width, exp.length_penalty,
+                joint_rescore_weight=exp.ctc_loss_weight
+                if exp.model_type == "joint_ctc_attention" else None,
+            )
+        else:
+            eval_step = task_mod.make_beam_eval_step(task, beam_width)
+        print(f"decoding with beam width {beam_width}")
+    else:
+        eval_step = task_mod.make_eval_step(task)
     for name, utts in (("dev", dev_utts), ("test", test_utts)):
         ds = Dataset(utts, exp.eval_batch_size or exp.batch_size)
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)

@@ -27,6 +27,22 @@ def main(argv=None):
     args = ap.parse_args(argv)
     _jax_setup()
 
+    import sys
+    from pathlib import Path
+
+    Path(args.model_dir).mkdir(parents=True, exist_ok=True)
+    log_f = open(Path(args.model_dir) / "train.log", "a")
+
+    class _Tee:
+        def write(self, s):
+            sys.__stdout__.write(s)
+            log_f.write(s)
+        def flush(self):
+            sys.__stdout__.flush()
+            log_f.flush()
+
+    sys.stdout = _Tee()  # reference parity: train output also lands in train.log
+
     exp = ExperimentConfig.from_yaml(args.config)
     if args.epochs is not None:
         import dataclasses

@@ -41,7 +41,13 @@ class ToyCorpus:
     ):
         self.label_type = label_type
         self.sample_rate = sample_rate
-        self.tokenizer: Tokenizer = build_tokenizer(label_type)
+        if label_type.startswith("word"):
+            # word units need a corpus-derived vocabulary; the toy corpus
+            # supplies a fixed word list (every word maps to a formant chord)
+            words = [f"w{i:02d}" for i in range(40)]
+            self.tokenizer = build_tokenizer(label_type, corpus_texts=[" ".join(words)])
+        else:
+            self.tokenizer: Tokenizer = build_tokenizer(label_type)
         rng = np.random.RandomState(seed)
         v = self.tokenizer.num_units
         draw_v = min(vocab_size, v) if vocab_size else v

@@ -141,3 +141,26 @@ def make_eval_step(task: AttTaskConfig):
         return preds, dec_len, jnp.zeros((preds.shape[0],))
 
     return eval_step
+
+
+def make_beam_eval_step(task: AttTaskConfig, beam_width: int, length_penalty: float = 0.0,
+                        joint_rescore_weight: float | None = None):
+    """Eval step decoding with the batched attention beam (+ optional joint
+    CTC-attention rescoring for joint models)."""
+    from ..decoding.attention_beam import attention_beam_search
+    from ..decoding.joint_rescoring import joint_rescore as _rescore
+
+    cfg = task.model
+
+    @jax.jit
+    def eval_step(params, batch):
+        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        result = attention_beam_search(
+            params, cfg, feats, feat_len,
+            beam_width=beam_width, length_penalty=length_penalty,
+        )
+        if joint_rescore_weight is not None and cfg.is_joint:
+            result = _rescore(result, joint_rescore_weight, cfg.num_classes, length_penalty)
+        return result.tokens[:, 0], result.lengths[:, 0], -result.scores[:, 0]
+
+    return eval_step

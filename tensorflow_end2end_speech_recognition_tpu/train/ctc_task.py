@@ -122,3 +122,25 @@ def make_eval_step(task: CTCTaskConfig):
         return decoded, dec_len, nll
 
     return eval_step
+
+
+def make_beam_eval_step(task: CTCTaskConfig, beam_width: int, top_k_classes: int = 16):
+    """Eval step decoding with the on-device CTC prefix beam (reference
+    eval used tf.nn.ctc_beam_search_decoder at config beam_width)."""
+    from ..decoding.ctc_prefix_beam import ctc_prefix_beam_search
+
+    @jax.jit
+    def eval_step(params, batch):
+        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        out = apply_ctc(params, task.model, feats, feat_len, train=False)
+        nll = ctc_loss(
+            out.logits, out.logit_len, batch["labels"], batch["label_len"],
+            blank_id=task.model.blank_id, impl=task.ctc_impl,
+        )
+        prefixes, lengths, _ = ctc_prefix_beam_search(
+            out.logits, out.logit_len, task.model.blank_id,
+            beam_width=beam_width, top_k_classes=top_k_classes,
+        )
+        return prefixes[:, 0], lengths[:, 0], nll
+
+    return eval_step
