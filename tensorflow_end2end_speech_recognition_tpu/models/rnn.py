@@ -156,6 +156,12 @@ def rnn_scan(
         xproj_t, mask_t = inp
         return step(spec, params, carry, xproj_t, mask_t)
 
+    # Per-step rematerialization: the scan backward otherwise stores every
+    # gate activation per step and becomes HBM-bandwidth bound — recomputing
+    # gates in the backward halves fwd+bwd time at LS-960 shapes
+    # (113.6 ms -> 60.9 ms measured). Grad-free forwards are unaffected.
+    body = jax.checkpoint(body)
+
     carry, ys = jax.lax.scan(
         body,
         carry0,

@@ -177,7 +177,9 @@ def forward_train(
     keys_s = jax.random.split(srng, u)
     prev0 = jnp.full((feats.shape[0],), cfg.sos_id, labels_in.dtype)
     (_, _), (logits, aligns) = jax.lax.scan(
-        body, (carry0, prev0), (labels_in.swapaxes(0, 1), keys_d, keys_s)
+        # remat: recompute decoder-step activations in the backward instead
+        # of storing them (same trade as rnn.rnn_scan)
+        jax.checkpoint(body), (carry0, prev0), (labels_in.swapaxes(0, 1), keys_d, keys_s)
     )
     return Seq2SeqOutput(
         logits.swapaxes(0, 1), aligns.swapaxes(0, 1),
