@@ -32,6 +32,8 @@ class FrontendConfig(NamedTuple):
     frame_length_ms: float = 25.0
     frame_step_ms: float = 10.0
     num_mels: int = 40
+    feature_type: str = "fbank"  # "fbank" | "mfcc" (reference `feature` key)
+    num_ceps: int = 13  # MFCC coefficients kept after the DCT
     fft_length: int = 512
     preemphasis: float = 0.97
     use_energy: bool = True  # append log frame energy => num_mels + 1 dims
@@ -54,7 +56,8 @@ class FrontendConfig(NamedTuple):
 
     @property
     def base_dim(self) -> int:
-        return self.num_mels + (1 if self.use_energy else 0)
+        n = self.num_ceps if self.feature_type == "mfcc" else self.num_mels
+        return n + (1 if self.use_energy else 0)
 
     @property
     def feature_dim(self) -> int:
@@ -150,11 +153,23 @@ def preemphasize(wav: jnp.ndarray, coeff: float) -> jnp.ndarray:
     return jnp.concatenate([first, rest], axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _dct_matrix(cfg: FrontendConfig) -> np.ndarray:
+    """Orthonormal DCT-II matrix [num_mels, num_ceps] for MFCC. Numpy-cached."""
+    n, k = cfg.num_mels, cfg.num_ceps
+    mat = np.cos(np.pi / n * (np.arange(n)[:, None] + 0.5) * np.arange(k)[None, :])
+    mat *= np.sqrt(2.0 / n)
+    mat[:, 0] *= 1.0 / np.sqrt(2.0)
+    return mat.astype(np.float32)
+
+
 def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """[..., N] float32 waveform -> [..., T, base_dim] log-mel (+ log-energy).
+    """[..., N] float32 waveform -> [..., T, base_dim] log-mel or MFCC
+    (+ log-energy).
 
     TPU note: the window is folded into the DFT matrices, so this lowers to
-    two MXU matmuls + one mel matmul; XLA fuses the square/add/log in between.
+    two MXU matmuls + one mel matmul (+ one DCT matmul for MFCC); XLA fuses
+    the square/add/log in between.
     """
     wav = preemphasize(wav.astype(jnp.float32), cfg.preemphasis)
     frames = frame_signal(wav, cfg)  # [..., T, n]
@@ -164,6 +179,10 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     power = re * re + im * im  # [..., T, bins]
     mel = jnp.matmul(power, _mel_matrix(cfg), preferred_element_type=jnp.float32)
     logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
+    if cfg.feature_type == "mfcc":
+        logmel = jnp.matmul(logmel, _dct_matrix(cfg), preferred_element_type=jnp.float32)
+    elif cfg.feature_type != "fbank":
+        raise ValueError(f"unknown feature_type {cfg.feature_type!r}")
     if cfg.use_energy:
         energy = jnp.sum(frames * frames, axis=-1, keepdims=True)
         logmel = jnp.concatenate([jnp.log(jnp.maximum(energy, cfg.log_floor)), logmel], axis=-1)

@@ -133,6 +133,14 @@ class ExperimentConfig:
     # ---- derived typed configs -------------------------------------------
 
     def frontend_config(self) -> FrontendConfig:
+        if self.feature == "mfcc":
+            # reference MFCC configs: input_size counts cepstra (e.g. 13)
+            return FrontendConfig(
+                feature_type="mfcc",
+                num_ceps=self.input_size,
+                use_energy=self.use_energy,
+                add_deltas=self.use_delta,
+            )
         return FrontendConfig(
             num_mels=self.input_size,
             use_energy=self.use_energy,

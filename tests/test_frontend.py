@@ -117,3 +117,16 @@ def test_extract_features_batched(wav):
     np.testing.assert_array_equal(np.asarray(feat_len), [198, 48])
     # padded region of utt 1 must be zero
     assert np.all(np.asarray(feats[1, 48:]) == 0.0)
+
+
+def test_mfcc_matches_dct_oracle(wav):
+    cfg = FrontendConfig(feature_type="mfcc", num_ceps=13, use_energy=False)
+    from tensorflow_end2end_speech_recognition_tpu.frontend.features import _dct_matrix
+
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(wav), cfg))
+    assert ours.shape[-1] == 13
+    fb_cfg = FrontendConfig(use_energy=False)
+    logmel = np.asarray(log_mel_spectrogram(jnp.asarray(wav), fb_cfg))
+    oracle = logmel @ np.asarray(_dct_matrix(cfg))
+    np.testing.assert_allclose(ours, oracle, atol=1e-3)
+    assert cfg.feature_dim == 39  # 13 x3 deltas
