@@ -78,7 +78,7 @@ def attention_beam_search(
     def step(state, si):
         carry, scores, att_scores, tokens, finished, lengths, history, lm_state = state
         carry, logits = _decoder_step(
-            params, cfg, enc_out, enc_keys, enc_mask, carry, tokens
+            params, cfg, enc_out, enc_keys, enc_mask, carry, tokens, fused=True
         )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, v)
         step_scores = logp

@@ -93,8 +93,27 @@ def attend(
     enc_mask: jnp.ndarray,  # [B, T] bool
     dec_state: jnp.ndarray,  # [B, Hd]
     prev_align: jnp.ndarray,  # [B, T]
+    fused: bool = False,  # inference-only Pallas kernel (no grad defined)
 ):
     """One attention read. Returns (context [B, He], align [B, T])."""
+    if (
+        fused
+        and cfg.uses_location
+        and not cfg.sigmoid_smoothing
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops.pallas.attention_kernel import location_attend_pallas
+
+        keys_in = (
+            enc_keys + params["b"]
+            if cfg.uses_content
+            else jnp.broadcast_to(params["b"], enc_keys.shape[:2] + (cfg.attention_dim,))
+        )
+        q = jnp.matmul(dec_state, params["w_dec"], preferred_element_type=jnp.float32)
+        return location_attend_pallas(
+            keys_in, enc_out, q, prev_align, enc_mask,
+            params["conv"], params["w_loc"], params["v"], cfg.sharpening_factor,
+        )
     if cfg.additive:
         pre = params["b"]
         if "w_enc" in params:
