@@ -41,6 +41,9 @@ class EncoderConfig(NamedTuple):
     dropout_keep_prob: float = 1.0  # output keep prob, reference DropoutWrapper
     # multitask tap: encoder layer index (1-based) whose output feeds the sub head
     num_layers_sub: int = 1
+    # pyramidal: number of 2x time reductions (None = between every layer
+    # pair, i.e. num_layers-1). Joint CTC heads need T' >= U: cap this.
+    num_pyramid_levels: int | None = None
     # conv frontends: input is [B, T, freq * channels] with delta features as channels
     input_channels: int = 3
     # cnn_zhang fully-connected head widths
@@ -218,7 +221,9 @@ def init_encoder(key, cfg: EncoderConfig, input_dim: int):
         else:
             layers.append(init_rnn_params(keys[layer], spec, dim, cfg.parameter_init))
             dim = spec.out_dim
-        if cfg.is_pyramidal and layer < cfg.num_layers - 1:
+        if cfg.is_pyramidal and layer < (
+            cfg.num_pyramid_levels if cfg.num_pyramid_levels is not None else cfg.num_layers - 1
+        ):
             dim = dim * 2  # adjacent-pair concat before the next layer
     params["layers"] = layers
     return params
@@ -280,6 +285,8 @@ def apply_encoder(
             xs = dropout(drop_keys[layer], xs, cfg.dropout_keep_prob, train)
         if cfg.is_multitask and layer + 1 == cfg.num_layers_sub:
             sub_outputs, sub_lengths = xs, lengths
-        if cfg.is_pyramidal and layer < cfg.num_layers - 1:
+        if cfg.is_pyramidal and layer < (
+            cfg.num_pyramid_levels if cfg.num_pyramid_levels is not None else cfg.num_layers - 1
+        ):
             xs, lengths = _pyramid_reduce(xs, lengths)
     return EncoderOutput(xs, lengths, sub_outputs, sub_lengths)

@@ -99,7 +99,9 @@ def make_train_step(task: CTCTaskConfig, optimizer):
         new_params = apply_updates(params, updates, lr)
         # NaN guard (SURVEY.md §5.2): a non-finite loss skips the update
         # instead of poisoning the weights
-        ok = jnp.isfinite(loss)
+        # also reject clamped impossible-alignment losses (~1e30): they are
+        # finite but their gradients are garbage
+        ok = jnp.isfinite(loss) & (loss < 1e20)
         params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
         aux["nonfinite"] = jnp.logical_not(ok)
         return params, opt_state, aux

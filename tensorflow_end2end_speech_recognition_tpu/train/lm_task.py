@@ -42,7 +42,9 @@ def make_train_step(task: LMTaskConfig, optimizer):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = apply_updates(params, updates, lr)
-        ok = jnp.isfinite(loss)
+        # also reject clamped impossible-alignment losses (~1e30): they are
+        # finite but their gradients are garbage
+        ok = jnp.isfinite(loss) & (loss < 1e20)
         params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
         return params, opt_state, {"loss": loss, "ppl": jnp.exp(loss)}
 

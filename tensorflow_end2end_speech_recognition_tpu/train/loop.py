@@ -44,6 +44,8 @@ def build_corpus_splits(exp: ExperimentConfig):
     corpus = ToyCorpus(
         label_type=exp.label_type,
         num_utts=exp.toy_num_utts,
+        min_units=exp.toy_min_units,
+        max_units=exp.toy_max_units,
         vocab_size=exp.toy_vocab_size,
         seed=exp.toy_seed,
     )

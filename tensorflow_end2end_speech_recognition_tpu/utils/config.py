@@ -43,6 +43,7 @@ class ExperimentConfig:
     num_layers: int = 2
     num_proj: int | None = None
     num_layers_sub: int = 1
+    num_pyramid_levels: int | None = None  # pyramidal 2x reductions cap
     lstm_impl: str | None = None  # accepted for parity; single scan impl here
     use_peephole: bool = False
     clip_activation: float | None = None
@@ -92,6 +93,8 @@ class ExperimentConfig:
     length_penalty: float = 0.0
     # toy corpus controls (this environment has no real corpora on disk)
     toy_num_utts: int = 128
+    toy_min_units: int = 3
+    toy_max_units: int = 10
     toy_vocab_size: int | None = None
     toy_seed: int = 0
     # misc
@@ -158,6 +161,7 @@ class ExperimentConfig:
             parameter_init=self.parameter_init,
             dropout_keep_prob=self.dropout,
             num_layers_sub=self.num_layers_sub,
+            num_pyramid_levels=self.num_pyramid_levels,
             input_channels=3 if self.use_delta else 1,
         )
 

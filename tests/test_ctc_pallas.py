@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tensorflow_end2end_speech_recognition_tpu.ops.ctc import ctc_loss
 from tensorflow_end2end_speech_recognition_tpu.ops.pallas.ctc_kernel import (

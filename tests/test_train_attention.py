@@ -1,6 +1,5 @@
 """Attention + joint training through fit(): convergence smoke on the toy task."""
 
-import dataclasses
 
 import numpy as np
 
