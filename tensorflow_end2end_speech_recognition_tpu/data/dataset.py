@@ -51,7 +51,7 @@ class Dataset:
         seed: int = 0,
         num_wav_buckets: int = 4,
         num_label_buckets: int = 3,
-        input_kind: str = "wav",  # "wav" | "features"
+        input_kind: str = "auto",  # "wav" | "features" | "auto" (by ndim)
     ):
         if not utterances:
             raise ValueError("empty dataset")
@@ -60,6 +60,8 @@ class Dataset:
         self.sort_utt = sort_utt
         self.sort_stop_epoch = sort_stop_epoch if sort_stop_epoch is not None else (1 << 30)
         self.seed = seed
+        if input_kind == "auto":
+            input_kind = "wav" if utterances[0].wav.ndim == 1 else "features"
         self.input_kind = input_kind
         if input_kind == "wav":
             lens = [len(u.wav) for u in self.utterances]
@@ -110,15 +112,27 @@ class Dataset:
         inputs, input_len = batch_assemble([u.wav for u in all_utts], t_pad)
         labels = np.full((b, u_pad), -1, dtype=np.int32)
         label_len = np.zeros((b,), dtype=np.int32)
+        has_sub = all_utts[0].sub_ids is not None
+        if has_sub:
+            su_pad = -(-max(8, max(len(u.sub_ids) for u in all_utts)) // 8) * 8
+            labels_sub = np.full((b, su_pad), -1, dtype=np.int32)
+            label_len_sub = np.zeros((b,), dtype=np.int32)
         names = []
         for j, u in enumerate(all_utts):
             labels[j, : len(u.label_ids)] = u.label_ids
             label_len[j] = len(u.label_ids)
+            if has_sub:
+                labels_sub[j, : len(u.sub_ids)] = u.sub_ids
+                label_len_sub[j] = len(u.sub_ids)
             names.append(u.name if j < len(utts) else None)
-        return {
+        batch = {
             "inputs": inputs,
             "labels": labels,
             "input_len": input_len,
             "label_len": label_len,
             "names": names,
         }
+        if has_sub:
+            batch["labels_sub"] = labels_sub
+            batch["label_len_sub"] = label_len_sub
+        return batch

@@ -1,0 +1,48 @@
+"""On-disk corpus loader: per-utterance ``.npy`` feature files + transcripts.
+
+This is the reference's actual input mode (SURVEY.md §2.6/§2.9: the offline
+``asr_preprocessing`` repo emitted one ``.npy`` feature matrix per utterance
+plus label files; ``utils/dataset/base.py`` lazily np.load-ed them). Layout
+expected under ``data_root``:
+
+    <data_root>/<split>/feats/<utt_id>.npy      float32 [T, D]
+    <data_root>/<split>/transcripts.tsv         utt_id<TAB>token token ...
+
+Tokens are looked up in the tokenizer (phones/words) or, for character
+tokenizers, the transcript text is encoded directly. Features are loaded
+eagerly into RAM here (these corpora fit; swap for mmap if needed) and flow
+through the same bucketed ``Dataset`` with ``input_kind='features'``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .tokenizers import CharTokenizer, Tokenizer
+from .toy_corpus import Utterance
+
+
+def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> list[Utterance]:
+    root = Path(data_root) / split
+    tsv = root / "transcripts.tsv"
+    if not tsv.exists():
+        raise FileNotFoundError(f"missing {tsv}")
+    utts: list[Utterance] = []
+    for line in tsv.read_text().splitlines():
+        if not line.strip():
+            continue
+        utt_id, text = line.split("\t", 1)
+        feat_path = root / "feats" / f"{utt_id}.npy"
+        feats = np.load(feat_path).astype(np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"{feat_path}: expected [T, D] features, got {feats.shape}")
+        if isinstance(tokenizer, CharTokenizer):
+            ids = tokenizer.encode_text(text)
+        else:
+            ids = tokenizer.encode(text.split())
+        utts.append(Utterance(utt_id, feats, ids, text))
+    if not utts:
+        raise ValueError(f"no utterances in {tsv}")
+    return utts

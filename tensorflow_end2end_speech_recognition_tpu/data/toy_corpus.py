@@ -22,9 +22,10 @@ from .tokenizers import Tokenizer, build_tokenizer
 @dataclass
 class Utterance:
     name: str
-    wav: np.ndarray  # float32 [num_samples]
+    wav: np.ndarray  # float32 [num_samples] (or [T, D] precomputed features)
     label_ids: list
     text: str
+    sub_ids: list | None = None  # multitask sub-task labels (e.g. phones under chars)
 
 
 class ToyCorpus:

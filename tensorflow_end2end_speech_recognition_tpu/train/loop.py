@@ -34,29 +34,56 @@ from .optimizer import build_optimizer
 MODEL_TYPES = ("ctc", "multitask_ctc", "attention", "joint_ctc_attention")
 
 
+def _attach_sub_labels(utts, exp: ExperimentConfig):
+    """Multitask: derive sub-task labels from each utterance's transcript."""
+    from ..data.tokenizers import CharTokenizer, build_tokenizer
+
+    sub_tok = build_tokenizer(exp.label_type_sub)
+    for u in utts:
+        if isinstance(sub_tok, CharTokenizer):
+            u.sub_ids = sub_tok.encode_text(u.text)
+        else:
+            u.sub_ids = sub_tok.encode([t for t in u.text.split() if t in sub_tok.unit_to_idx])
+    return sub_tok
+
+
 def build_corpus_splits(exp: ExperimentConfig):
-    """Returns (train_utts, dev_utts, test_utts, tokenizer)."""
-    if exp.corpus != "toy" and exp.data_root is None:
-        raise ValueError(
-            f"corpus {exp.corpus!r} requires data_root with precomputed features; "
-            "none is available in this environment, use corpus: toy"
+    """Returns (train_utts, dev_utts, test_utts, tokenizer).
+
+    ``data_root`` set -> the reference's on-disk mode: per-utterance .npy
+    features + transcripts.tsv per split (data/npy_corpus.py). Otherwise the
+    synthetic toy corpus (no corpora ship with this environment).
+    """
+    if exp.data_root is not None:
+        from ..data.npy_corpus import load_npy_split
+        from ..data.tokenizers import build_tokenizer
+
+        tokenizer = build_tokenizer(exp.label_type)
+        splits = []
+        for split in ("train", "dev", "test"):
+            splits.append(load_npy_split(exp.data_root, split, tokenizer))
+        train, dev, test = splits
+    else:
+        corpus = ToyCorpus(
+            label_type=exp.label_type,
+            num_utts=exp.toy_num_utts,
+            min_units=exp.toy_min_units,
+            max_units=exp.toy_max_units,
+            vocab_size=exp.toy_vocab_size,
+            seed=exp.toy_seed,
         )
-    corpus = ToyCorpus(
-        label_type=exp.label_type,
-        num_utts=exp.toy_num_utts,
-        min_units=exp.toy_min_units,
-        max_units=exp.toy_max_units,
-        vocab_size=exp.toy_vocab_size,
-        seed=exp.toy_seed,
-    )
-    utts = corpus.utterances
-    n = len(utts)
-    n_dev = max(n // 10, 1)
-    n_test = max(n // 10, 1)
-    train = utts[: n - n_dev - n_test]
-    dev = utts[n - n_dev - n_test : n - n_test]
-    test = utts[n - n_test :]
-    return train, dev, test, corpus.tokenizer
+        utts = corpus.utterances
+        n = len(utts)
+        n_dev = max(n // 10, 1)
+        n_test = max(n // 10, 1)
+        train = utts[: n - n_dev - n_test]
+        dev = utts[n - n_dev - n_test : n - n_test]
+        test = utts[n - n_test :]
+        tokenizer = corpus.tokenizer
+    if exp.model_type == "multitask_ctc" and exp.label_type_sub:
+        sub_tok = _attach_sub_labels(train + dev + test, exp)
+        tokenizer.sub_tokenizer = sub_tok  # stashed for task construction
+    return train, dev, test, tokenizer
 
 
 def _specaug(exp: ExperimentConfig):
@@ -73,7 +100,10 @@ def _specaug(exp: ExperimentConfig):
 def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
     num_sub = None
     if exp.model_type == "multitask_ctc":
-        num_sub = tokenizer.num_units  # toy sub task mirrors the main units
+        sub_tok = getattr(tokenizer, "sub_tokenizer", None)
+        # with label_type_sub: a real hierarchical sub task; else the toy
+        # fallback mirrors the main units
+        num_sub = sub_tok.num_units if sub_tok is not None else tokenizer.num_units
     return CTCTaskConfig(
         model=exp.ctc_config(tokenizer.num_units, num_sub),
         frontend=exp.frontend_config(),
@@ -131,7 +161,8 @@ def build_task(exp: ExperimentConfig, tokenizer):
 
 def _to_device_batch(batch, multitask: bool):
     jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
-    if multitask:
+    if multitask and "labels_sub" not in jbatch:
+        # toy fallback: sub task mirrors the main labels
         jbatch["labels_sub"] = jbatch["labels"]
         jbatch["label_len_sub"] = jbatch["label_len"]
     return jbatch
@@ -175,7 +206,15 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     step = 0
     best_dev = float("inf")
     summary = {}
-    for epoch in range(exp.num_epoch):
+    start_epoch = 0
+    if ckpts.latest_epoch is not None:
+        # crash/restart recovery (SURVEY.md §5.3): resume from the latest
+        # checkpoint (params only; optimizer moments restart)
+        start_epoch, state = ckpts.restore({"params": params}, epoch=ckpts.latest_epoch)
+        params = state["params"]
+        start_epoch += 1
+        print_fn(f"resuming from checkpoint epoch {start_epoch - 1}")
+    for epoch in range(start_epoch, exp.num_epoch):
         t0 = time.perf_counter()
         losses = []
         n_utts = 0
