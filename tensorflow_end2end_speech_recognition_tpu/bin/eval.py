@@ -58,7 +58,11 @@ def main(argv=None):
     for name, utts in (("dev", dev_utts), ("test", test_utts)):
         ds = Dataset(utts, exp.eval_batch_size or exp.batch_size)
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
-        print(f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} loss {m['loss']:.4f}")
+        print(
+            f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} "
+            f"(S {m['sub_rate']:.4f} / I {m['ins_rate']:.4f} / D {m['del_rate']:.4f}) "
+            f"loss {m['loss']:.4f} [{m['num_utts']} utts]"
+        )
 
 
 if __name__ == "__main__":

@@ -40,9 +40,15 @@ def score_pair(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
 
 
 def evaluate_ctc(eval_step, params, dataset, tokenizer: Tokenizer, label_type: str, epoch: int = 0):
-    """Run greedy decode over a dataset; returns dict with error rate + loss."""
-    total_err = total_len = 0
-    losses = []
+    """Run decode over a dataset; returns error rate, loss, and S/I/D counts.
+
+    The substitution/insertion/deletion decomposition mirrors the reference's
+    ``wer_align`` reporting and uses the C++ batched Levenshtein.
+    """
+    from ..data.native import levenshtein_batch
+
+    refs, hyps, losses = [], [], []
+    ref_tok_lens = []
     for batch in dataset.batches(epoch):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
         decoded, dec_len, nll = eval_step(params, jbatch)
@@ -52,9 +58,34 @@ def evaluate_ctc(eval_step, params, dataset, tokenizer: Tokenizer, label_type: s
                 continue
             ref_ids = [j for j in batch["labels"][i] if j >= 0]
             hyp_ids = decoded[i][: dec_len[i]]
-            err, n = score_pair(ref_ids, hyp_ids, tokenizer, label_type)
-            total_err += err
-            total_len += n
+            r, h, n = _scoring_tokens(ref_ids, hyp_ids, tokenizer, label_type)
+            refs.append(r)
+            hyps.append(h)
+            ref_tok_lens.append(n)
             losses.append(float(nll[i]))
-    rate = total_err / max(total_len, 1)
-    return {"error_rate": rate, "loss": float(np.mean(losses)) if losses else float("nan")}
+    counts = levenshtein_batch(refs, hyps)
+    total_len = max(sum(ref_tok_lens), 1)
+    return {
+        "error_rate": counts[:, 0].sum() / total_len,
+        "loss": float(np.mean(losses)) if losses else float("nan"),
+        "sub_rate": counts[:, 1].sum() / total_len,
+        "ins_rate": counts[:, 2].sum() / total_len,
+        "del_rate": counts[:, 3].sum() / total_len,
+        "num_utts": len(refs),
+    }
+
+
+def _scoring_tokens(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
+    """Integerized scoring-unit sequences + ref length denominator."""
+    ref = ids_to_tokens(ref_ids, tokenizer)
+    hyp = ids_to_tokens(hyp_ids, tokenizer)
+    if label_type.startswith("phone") and isinstance(tokenizer, PhoneTokenizer):
+        ref = tokenizer.fold_for_scoring(ref)
+        hyp = tokenizer.fold_for_scoring(hyp)
+    elif not label_type.startswith("word"):
+        # character scoring: units are the characters of the joined string
+        ref = list("".join(ref))
+        hyp = list("".join(hyp))
+    vocab = {}
+    enc = lambda seq: [vocab.setdefault(t, len(vocab)) for t in seq]
+    return enc(ref), enc(hyp), max(len(ref), 1)
