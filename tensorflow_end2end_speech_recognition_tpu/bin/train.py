@@ -33,23 +33,29 @@ def main(argv=None):
     Path(args.model_dir).mkdir(parents=True, exist_ok=True)
     log_f = open(Path(args.model_dir) / "train.log", "a")
 
+    _orig = sys.stdout
+
     class _Tee:
         def write(self, s):
-            sys.__stdout__.write(s)
+            _orig.write(s)
             log_f.write(s)
         def flush(self):
-            sys.__stdout__.flush()
+            _orig.flush()
             log_f.flush()
 
+    prev_stdout = sys.stdout
     sys.stdout = _Tee()  # reference parity: train output also lands in train.log
+    try:
+        exp = ExperimentConfig.from_yaml(args.config)
+        if args.epochs is not None:
+            import dataclasses
 
-    exp = ExperimentConfig.from_yaml(args.config)
-    if args.epochs is not None:
-        import dataclasses
-
-        exp = dataclasses.replace(exp, num_epoch=args.epochs)
-    summary = fit(exp, args.model_dir, profile_steps=(2, 5) if args.profile else None)
-    print("FINAL", summary)
+            exp = dataclasses.replace(exp, num_epoch=args.epochs)
+        summary = fit(exp, args.model_dir, profile_steps=(2, 5) if args.profile else None)
+        print("FINAL", summary)
+    finally:
+        sys.stdout = prev_stdout
+        log_f.close()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,56 @@
+"""In-process CLI smoke tests: train -> eval -> decode -> plot on CPU.
+
+Drives the argparse mains exactly as a user would (module entry points),
+on a tiny toy config, covering the CLI glue that unit tests skip.
+"""
+
+import numpy as np
+import yaml
+
+
+def _write_cfg(path):
+    cfg = dict(
+        model_type="ctc", corpus="toy", label_type="phone61",
+        toy_num_utts=12, toy_vocab_size=5, use_delta=False, use_energy=False,
+        num_units=12, num_layers=1, batch_size=6, num_epoch=1, beam_width=2,
+    )
+    path.write_text(yaml.safe_dump(cfg))
+
+
+def test_cli_train_eval_decode_plot(tmp_path, capsys):
+    from tensorflow_end2end_speech_recognition_tpu.bin import decode, eval as eval_bin, plot, train
+
+    cfg = tmp_path / "cfg.yml"
+    _write_cfg(cfg)
+    mdir = tmp_path / "model"
+
+    train.main([str(cfg), str(mdir)])
+    out = capsys.readouterr().out
+    assert "FINAL" in out and (mdir / "config.yml").exists()
+    assert (mdir / "metrics.csv").exists() and (mdir / "train.log").exists()
+    assert (mdir / "loss.png").exists()
+
+    eval_bin.main([str(mdir)])
+    out = capsys.readouterr().out
+    assert "dev (epoch" in out and "test (epoch" in out and "S " in out
+
+    decode.main([str(mdir), "--beam-width", "2", "--num-utts", "2"])
+    out = capsys.readouterr().out
+    assert "REF:" in out and "HYP:" in out
+
+    plot.main([str(mdir)])
+    out = capsys.readouterr().out
+    assert "ctc_probs_utt0.png" in out
+
+
+def test_cli_train_lm(tmp_path, capsys):
+    from tensorflow_end2end_speech_recognition_tpu.bin import train_lm
+
+    cfg = tmp_path / "cfg.yml"
+    _write_cfg(cfg)
+    train_lm.main([str(cfg), str(tmp_path / "lm"), "--epochs", "1",
+                   "--num-units", "8", "--embedding-dim", "4"])
+    out = capsys.readouterr().out
+    assert "FINAL dev_ppl" in out
+    params, lm_cfg = train_lm.load_lm(tmp_path / "lm")
+    assert lm_cfg.vocab == 63  # 61 phones + sos + eos
