@@ -25,7 +25,7 @@ from ..decoding import attention_beam_search, ctc_greedy_decode, ctc_prefix_beam
 from ..models.ctc import apply_ctc
 from ..train.checkpoint import CheckpointManager
 from ..train.ctc_task import device_pipeline
-from ..train.loop import build_corpus_splits, build_task
+from ..train.loop import build_corpus_splits, build_task, feature_dim_of
 from ..utils.config import ExperimentConfig
 
 
@@ -53,7 +53,7 @@ def main(argv=None):
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
     _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
     utts = dev_utts if args.data == "dev" else test_utts
-    task, task_mod = build_task(exp, tokenizer)
+    task, task_mod = build_task(exp, tokenizer, feature_dim_of(utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
         {"params": params}, args.epoch

@@ -19,7 +19,7 @@ import jax
 
 from ..data import Dataset
 from ..train.checkpoint import CheckpointManager
-from ..train.loop import build_corpus_splits, build_task
+from ..train.loop import build_corpus_splits, build_task, feature_dim_of
 from ..utils.config import ExperimentConfig
 from ..utils.metrics import evaluate_ctc
 
@@ -36,7 +36,7 @@ def main(argv=None):
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
     _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
-    task, task_mod = build_task(exp, tokenizer)
+    task, task_mod = build_task(exp, tokenizer, feature_dim_of(dev_utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
         {"params": params}, args.epoch

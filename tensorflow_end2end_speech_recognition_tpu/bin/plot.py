@@ -25,7 +25,7 @@ from ..models.seq2seq import greedy_decode
 from ..ops.ctc import ctc_posteriors
 from ..train.checkpoint import CheckpointManager
 from ..train.ctc_task import device_pipeline
-from ..train.loop import build_corpus_splits, build_task
+from ..train.loop import build_corpus_splits, build_task, feature_dim_of
 from ..utils.config import ExperimentConfig
 from ..utils.plot import plot_attention_weights, plot_ctc_posteriors, plot_training_curves
 
@@ -43,7 +43,7 @@ def main(argv=None):
     made = [str(p) for p in plot_training_curves(model_dir)]
 
     _, dev_utts, _, tokenizer = build_corpus_splits(exp)
-    task, task_mod = build_task(exp, tokenizer)
+    task, task_mod = build_task(exp, tokenizer, feature_dim_of(dev_utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
         {"params": params}, args.epoch

@@ -90,6 +90,14 @@ class Dataset:
         rng = np.random.RandomState(self.seed + epoch)
         batch_starts = np.arange(self.num_batches) * self.batch_size
         if not self.sort_utt or epoch >= self.sort_stop_epoch:
+            # after the curriculum: vary batch *composition* per epoch, not
+            # just batch order (the reference reshuffled utterances). Shuffle
+            # within blocks of a few batches of the sorted order so batches
+            # stay length-homogeneous (padding efficiency) while their
+            # membership changes every epoch.
+            block = max(self.batch_size * 4, 1)
+            for s in range(0, len(order), block):
+                rng.shuffle(order[s : s + block])
             rng.shuffle(batch_starts)  # shuffle batch order, keep bucketing
         for start in batch_starts:
             idx = order[start : start + self.batch_size]

@@ -151,10 +151,20 @@ class PhoneTokenizer(Tokenizer):
         """Map this tokenizer's phones to the 39 set and squeeze repeats of sil.
 
         Mirrors the reference's 61->39 mapping-file step before PER
-        computation (SURVEY.md §2.7 metrics glue).
+        computation (SURVEY.md §2.7 metrics glue). Handles both 61-set and
+        48-set inputs: the 48-set closure symbols ``vcl``/``cl`` (which the
+        61->39 keys don't cover) fold to ``sil`` so phone48 models score
+        over the same 39 symbols as phone61 models. Folding creates adjacent
+        ``sil`` runs (e.g. ``vcl sil`` -> ``sil sil``); those are squeezed to
+        one, as the reference's mapping step did.
         """
-        fold = {**_FOLD_61_TO_39}
-        out = [fold.get(p, p) for p in phones]
+        fold = {**_FOLD_61_TO_39, "vcl": "sil", "cl": "sil"}
+        out = []
+        for p in phones:
+            p = fold.get(p, p)
+            if p == "sil" and out and out[-1] == "sil":
+                continue
+            out.append(p)
         return out
 
 

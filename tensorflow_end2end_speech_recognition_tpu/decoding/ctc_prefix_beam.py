@@ -67,12 +67,20 @@ def ctc_prefix_beam_search(
     l_max = max_prefix_len or t
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
+    # Dead initial slots (1..W-1) get distinct sentinel hashes so they can
+    # never merge with the live empty prefix in slot 0: otherwise every
+    # frame-0 candidate set contains W copies of the empty prefix, and any
+    # duplicate that survives selection (when live candidates < W) would
+    # re-merge — and double-count — the live prefix's mass on later frames.
+    slot = jnp.arange(w, dtype=jnp.uint32)
+    sent1 = jnp.where(slot == 0, 0, jnp.uint32(0x80000000) + slot)
+    sent2 = jnp.where(slot == 0, 0, jnp.uint32(0xC0000000) + slot)
     state = BeamState(
         prefixes=jnp.full((b, w, l_max), -1, jnp.int32),
         lengths=jnp.zeros((b, w), jnp.int32),
         last=jnp.full((b, w), -1, jnp.int32),
-        h1=jnp.zeros((b, w), jnp.uint32),
-        h2=jnp.zeros((b, w), jnp.uint32),
+        h1=jnp.broadcast_to(sent1, (b, w)),
+        h2=jnp.broadcast_to(sent2, (b, w)),
         pb=jnp.full((b, w), _NEG).at[:, 0].set(0.0),
         pnb=jnp.full((b, w), _NEG),
         lm_score=jnp.zeros((b, w)),
@@ -143,12 +151,16 @@ def ctc_prefix_beam_search(
             vm = jnp.where(same, v[:, None, :], _NEG)  # row i gathers dups j
             m = jnp.max(vm, axis=-1)
             return m + jnp.log(jnp.sum(jnp.exp(vm - m[..., None]), axis=-1))
-        merged_pb = masked_lse(cand_pb)
-        merged_pnb = masked_lse(cand_pnb)
-        # keep only the first occurrence of each prefix
+        # keep only the first occurrence of each prefix; non-first duplicates
+        # must lose their pb/pnb mass too, not just their selection score —
+        # a duplicate selected into the beam (possible whenever live
+        # candidates < W) would otherwise re-merge its copy of a live
+        # prefix's mass every subsequent frame, inflating scores
         idx = jnp.arange(n)
         first_dup = jnp.argmax(same, axis=-1)  # first j with same prefix
         is_first = first_dup == idx[None, :]
+        merged_pb = jnp.where(is_first, masked_lse(cand_pb), _NEG)
+        merged_pnb = jnp.where(is_first, masked_lse(cand_pnb), _NEG)
         merged_total = jnp.logaddexp(merged_pb, merged_pnb) + lm_weight * cand_lm
         merged_total = jnp.where(is_first, merged_total, _NEG)
 

@@ -34,12 +34,15 @@ class AttTaskConfig(NamedTuple):
     ctc_impl: str = "auto"
     scheduled_sampling_ramp_max_step: int = 0
     spec_augment: SpecAugmentConfig | None = None
+    # per-frame dim of precomputed [T, D] features (frontend=None mode, the
+    # reference's primary .npy input — SURVEY.md §2.6)
+    feature_dim: int | None = None
 
     @property
     def input_dim(self) -> int:
-        base = self.frontend.feature_dim if self.frontend else None
+        base = self.frontend.feature_dim if self.frontend else self.feature_dim
         if base is None:
-            raise ValueError("input_dim undefined for precomputed features; pass it explicitly")
+            raise ValueError("precomputed-feature mode needs feature_dim set on the task config")
         return base * self.num_stack * (2 * self.splice + 1)
 
 
@@ -112,12 +115,15 @@ def make_train_step(task: AttTaskConfig, optimizer):
             lambda p: forward_loss(p, task, batch, train=True, rng=rng, step=step),
             has_aux=True,
         )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = apply_updates(params, updates, lr)
         # also reject clamped impossible-alignment losses (~1e30): they are
         # finite but their gradients are garbage
         ok = jnp.isfinite(loss) & (loss < 1e20)
         params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
+        # the optimizer state must be rolled back too: one NaN gradient would
+        # otherwise poison Adam/RMSProp moments permanently
+        opt_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state)
         aux["nonfinite"] = jnp.logical_not(ok)
         return params, opt_state, aux
 

@@ -97,7 +97,13 @@ def _specaug(exp: ExperimentConfig):
     )
 
 
-def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
+def feature_dim_of(utts) -> int | None:
+    """Per-frame dim for precomputed [T, D] feature corpora, None for waveforms."""
+    arr = utts[0].wav
+    return int(arr.shape[1]) if arr.ndim == 2 else None
+
+
+def build_ctc_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None) -> CTCTaskConfig:
     num_sub = None
     if exp.model_type == "multitask_ctc":
         sub_tok = getattr(tokenizer, "sub_tokenizer", None)
@@ -106,17 +112,20 @@ def build_ctc_task(exp: ExperimentConfig, tokenizer) -> CTCTaskConfig:
         num_sub = sub_tok.num_units if sub_tok is not None else tokenizer.num_units
     return CTCTaskConfig(
         model=exp.ctc_config(tokenizer.num_units, num_sub),
-        frontend=exp.frontend_config(),
+        # precomputed-feature corpora (the reference's .npy mode) bypass the
+        # waveform frontend; the on-disk frame dim feeds init_params instead
+        frontend=None if feature_dim is not None else exp.frontend_config(),
         num_stack=exp.num_stack,
         num_skip=exp.num_skip,
         splice=exp.splice,
         weight_decay=exp.weight_decay,
         main_task_weight=exp.main_task_weight,
         spec_augment=_specaug(exp),
+        feature_dim=feature_dim,
     )
 
 
-def build_att_task(exp: ExperimentConfig, tokenizer) -> AttTaskConfig:
+def build_att_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None) -> AttTaskConfig:
     model = Seq2SeqConfig(
         encoder=exp.encoder_config(),
         attention=AttentionConfig(
@@ -139,7 +148,7 @@ def build_att_task(exp: ExperimentConfig, tokenizer) -> AttTaskConfig:
     )
     return AttTaskConfig(
         model=model,
-        frontend=exp.frontend_config(),
+        frontend=None if feature_dim is not None else exp.frontend_config(),
         num_stack=exp.num_stack,
         num_skip=exp.num_skip,
         splice=exp.splice,
@@ -147,16 +156,22 @@ def build_att_task(exp: ExperimentConfig, tokenizer) -> AttTaskConfig:
         label_smoothing=exp.label_smoothing_prob,
         scheduled_sampling_ramp_max_step=exp.scheduled_sampling_ramp_max_step,
         spec_augment=_specaug(exp),
+        feature_dim=feature_dim,
     )
 
 
-def build_task(exp: ExperimentConfig, tokenizer):
-    """(task_config, task_module) for the configured model_type."""
+def build_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None):
+    """(task_config, task_module) for the configured model_type.
+
+    ``feature_dim`` set (from ``feature_dim_of`` on a precomputed-feature
+    corpus) switches the task to frontend-free mode: the jitted pipeline
+    consumes [B, T, D] feature batches directly (stack/splice still apply).
+    """
     if exp.model_type not in MODEL_TYPES:
         raise ValueError(f"unknown model_type {exp.model_type!r}; expected {MODEL_TYPES}")
     if exp.model_type in ("ctc", "multitask_ctc"):
-        return build_ctc_task(exp, tokenizer), ctc_task
-    return build_att_task(exp, tokenizer), att_task
+        return build_ctc_task(exp, tokenizer, feature_dim), ctc_task
+    return build_att_task(exp, tokenizer, feature_dim), att_task
 
 
 def _to_device_batch(batch, multitask: bool):
@@ -181,7 +196,7 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     )
     dev_ds = Dataset(dev_utts, exp.eval_batch_size or exp.batch_size, sort_utt=True)
 
-    task, task_mod = build_task(exp, tokenizer)
+    task, task_mod = build_task(exp, tokenizer, feature_dim_of(train_utts))
     multitask = exp.model_type == "multitask_ctc"
     is_att = exp.model_type in ("attention", "joint_ctc_attention")
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
@@ -208,10 +223,28 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     summary = {}
     start_epoch = 0
     if ckpts.latest_epoch is not None:
-        # crash/restart recovery (SURVEY.md §5.3): resume from the latest
-        # checkpoint (params only; optimizer moments restart)
-        start_epoch, state = ckpts.restore({"params": params}, epoch=ckpts.latest_epoch)
+        # crash/restart recovery (SURVEY.md §5.3): restore the FULL training
+        # state — params, optimizer slots, RNG stream, LR-controller state,
+        # step counter — so a resumed run is bit-identical to an
+        # uninterrupted one (tf.train.Saver persisted optimizer slots too)
+        extra_like = {
+            "opt_state": opt_state,
+            "rng": rng,
+            "lr_controller": controller.state_dict(),
+            "step": step,
+            "best_dev": best_dev,
+        }
+        start_epoch, state = ckpts.restore(
+            {"params": params, "extra": extra_like}, epoch=ckpts.latest_epoch
+        )
         params = state["params"]
+        extra = state["extra"]
+        opt_state = extra["opt_state"]
+        rng = jnp.asarray(extra["rng"])
+        controller.load_state_dict(extra["lr_controller"])
+        lr = controller.lr
+        step = int(extra["step"])
+        best_dev = float(extra["best_dev"])
         start_epoch += 1
         print_fn(f"resuming from checkpoint epoch {start_epoch - 1}")
     for epoch in range(start_epoch, exp.num_epoch):
@@ -248,8 +281,23 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             csv.writer(f).writerow([epoch, step, train_loss, dev["error_rate"], lr, ups])
         if dev["error_rate"] < best_dev:
             best_dev = dev["error_rate"]
-        ckpts.save(epoch, {"params": params}, dev["error_rate"])
+        # controller advances first so the checkpointed state already
+        # reflects this epoch's decision (resume then continues exactly)
         lr = controller.update(epoch, dev["error_rate"])
+        ckpts.save(
+            epoch,
+            {
+                "params": params,
+                "extra": {
+                    "opt_state": opt_state,
+                    "rng": rng,
+                    "lr_controller": controller.state_dict(),
+                    "step": step,
+                    "best_dev": best_dev,
+                },
+            },
+            dev["error_rate"],
+        )
         summary = {
             "epochs": epoch + 1, "steps": step, "train_loss": train_loss,
             "dev_error_rate": dev["error_rate"], "best_dev_error_rate": best_dev,

@@ -29,6 +29,15 @@ class LRController:
         if not self.lower_better:
             self._best = -float("inf")
 
+    def state_dict(self) -> dict:
+        """Resume state (checkpointed alongside optimizer slots)."""
+        return {"lr": self.lr, "best": self._best, "not_improved": self._not_improved}
+
+    def load_state_dict(self, d: dict):
+        self.lr = float(d["lr"])
+        self._best = float(d["best"])
+        self._not_improved = int(d["not_improved"])
+
     def update(self, epoch: int, metric: float) -> float:
         """Report the epoch's dev metric; returns the LR for the next epoch."""
         improved = metric < self._best if self.lower_better else metric > self._best

@@ -74,6 +74,37 @@ def test_matches_host_reference():
         assert len(got3 & ref3) >= 2, (got3, ref3)
 
 
+def test_blank_dominated_underfull_beam_matches_host():
+    """Regression: when live candidates < beam_width (blank-dominated input,
+    wide beam), duplicate beam slots used to carry a live prefix's full
+    merged mass and double-count it on later frames, inflating scores by
+    ~log(duplicates)."""
+    rng = np.random.RandomState(7)
+    t, c = 10, 6
+    blank = c - 1
+    logits = rng.randn(1, t, c).astype(np.float32)
+    logits[..., blank] += 4.0  # blank dominates every frame
+    W = 20  # far more slots than live prefixes on early frames
+    prefixes, lengths, scores = ctc_prefix_beam_search(
+        jnp.asarray(logits), jnp.asarray([t]), blank, beam_width=W, top_k_classes=c - 1
+    )
+    log_probs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    ref = host_prefix_beam(log_probs[0], blank, W)
+    got_best = tuple(int(x) for x in np.asarray(prefixes[0, 0][: int(lengths[0, 0])]))
+    assert got_best == ref[0][0], (got_best, ref[0][0])
+    # the bug inflated the best score by ~log(4); require a tight match
+    np.testing.assert_allclose(float(scores[0, 0]), ref[0][1], rtol=1e-3, atol=1e-3)
+    # every reported beam score must match the oracle's score for that prefix
+    ref_scores = dict(ref)
+    for j in range(W):
+        p = tuple(int(x) for x in np.asarray(prefixes[0, j][: int(lengths[0, j])]))
+        s = float(scores[0, j])
+        if s < -1e20:  # dead slot
+            continue
+        assert p in ref_scores, (j, p)
+        np.testing.assert_allclose(s, ref_scores[p], rtol=1e-3, atol=1e-3)
+
+
 def test_beam1_matches_greedyish():
     """W-K exactness sanity: tiny case where one path dominates."""
     c, blank = 3, 2

@@ -24,6 +24,37 @@ def test_phone_inventories():
     assert folded == ["sil", "sil", "aa", "ih", "iy"]
 
 
+def test_fold_for_scoring_covers_phone48_and_squeezes_sil():
+    # phone48 closure symbols vcl/cl must land in the 39 set as sil, and
+    # folding-created adjacent sil runs are squeezed (so phone48 and phone61
+    # models score over the same 39-symbol space)
+    tok48 = PhoneTokenizer("phone48")
+    folded = tok48.fold_for_scoring(["vcl", "b", "cl", "sil", "ih", "sil", "sil"])
+    assert folded == ["sil", "b", "sil", "ih", "sil"]
+    for p in folded:
+        assert p in phone_inventory("phone39"), p
+    tok61 = PhoneTokenizer("phone61")
+    folded61 = tok61.fold_for_scoring(["bcl", "pau", "ao", "q", "h#"])
+    assert folded61 == ["sil", "aa", "sil"]
+    # non-sil repeats are NOT squeezed (only folding-artifact sil runs are)
+    assert tok61.fold_for_scoring(["iy", "iy"]) == ["iy", "iy"]
+
+
+def test_dataset_batch_composition_varies_after_sort_stop_epoch():
+    corpus = ToyCorpus(num_utts=64, vocab_size=6, seed=2)
+    ds = Dataset(corpus.utterances, batch_size=8, sort_utt=True, sort_stop_epoch=1)
+    def compositions(epoch):
+        return [frozenset(n for n in b["names"] if n is not None) for b in ds.batches(epoch)]
+    # curriculum epoch: deterministic length-sorted composition
+    assert compositions(0) == compositions(0)
+    # post-curriculum epochs: composition must differ between epochs
+    c1, c2 = compositions(1), compositions(2)
+    assert set(c1) != set(c2)
+    # and still cover every utterance exactly once
+    all_names = set().union(*c1)
+    assert len(all_names) == 64
+
+
 def test_char_tokenizer_roundtrip():
     tok = CharTokenizer()
     ids = tok.encode_text("hello world")

@@ -65,6 +65,43 @@ def test_ctc_learns_toy_task():
     assert np.mean(pers) < 0.5, pers
 
 
+def test_bad_step_rolls_back_params_and_opt_state():
+    """A rejected update (impossible CTC alignment -> clamped huge loss) must
+    leave BOTH params and optimizer moments untouched: a NaN/inf gradient
+    that reaches Adam's mu/nu poisons every later step."""
+    corpus = ToyCorpus(num_utts=4, vocab_size=5, min_units=2, max_units=3, seed=3)
+    ds = Dataset(corpus.utterances, batch_size=4, num_wav_buckets=1, num_label_buckets=1)
+    batch = {k: jnp.asarray(v) for k, v in next(ds.batches(0)).items() if k != "names"}
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="blstm", num_units=16, num_layers=1),
+            num_classes=corpus.tokenizer.num_units,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+        num_stack=3,
+        num_skip=3,
+    )
+    params = init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("adam", clip_grad_norm=5.0)
+    opt_state = opt.init(params)
+    train_step = make_train_step(task, opt)
+    # labels far longer than the downsampled logit length: no valid alignment
+    bad = dict(batch)
+    u = 4096
+    bad["labels"] = jnp.zeros((4, u), jnp.int32)
+    bad["label_len"] = jnp.full((4,), u, jnp.int32)
+    p0 = jax.tree.map(np.asarray, params)
+    s0 = jax.tree.map(np.asarray, opt_state)
+    params, opt_state, aux = train_step(params, opt_state, bad, 1e-3, jax.random.PRNGKey(1))
+    assert bool(aux["nonfinite"])
+    jax.tree.map(np.testing.assert_array_equal, jax.tree.map(np.asarray, params), p0)
+    jax.tree.map(np.testing.assert_array_equal, jax.tree.map(np.asarray, opt_state), s0)
+    # and a good batch afterwards still produces a finite, moving update
+    params, opt_state, aux = train_step(params, opt_state, batch, 1e-3, jax.random.PRNGKey(2))
+    assert not bool(aux["nonfinite"])
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_forward_loss_is_finite_with_dropout_and_decay():
     corpus = ToyCorpus(num_utts=4, vocab_size=5, seed=1)
     ds = Dataset(corpus.utterances, batch_size=4, num_wav_buckets=1, num_label_buckets=1)
