@@ -70,7 +70,7 @@ def main(argv=None):
 
         @jax.jit
         def run(params, b):
-            feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
+            feats, fl = device_pipeline(task, b)
             return attention_beam_search(
                 params, cfg, feats, fl,
                 beam_width=max(args.beam_width, 1),
@@ -90,29 +90,27 @@ def main(argv=None):
         hyp_len = np.asarray(result.lengths[:, 0])
         scores = np.asarray(result.scores[:, 0])
     else:
-        lm_fn = None
+        lm_fusion = None
         if lm_params is not None:
-            from ..models.lm import lm_prefix_logp
+            # carried-state shallow fusion: LM state rides the beam and
+            # advances once per accepted token (O(T) LM steps per utterance)
+            from ..models.lm import make_fusion_lm
 
-            def lm_fn(prefixes, lengths):
-                lp = lm_prefix_logp(lm_params, lm_cfg, prefixes, lengths,
-                                    sos_id=lm_cfg.vocab - 2)
-                # LM vocab = units+sos+eos; CTC classes = units+blank.
-                # real units align; blank gets a zero LM score.
-                c = task.model.vocab_with_blank
-                units = lp[..., : c - 1]
-                return jnp.concatenate([units, jnp.zeros_like(units[..., :1])], -1)
+            lm_fusion = make_fusion_lm(
+                lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+                num_ctc_classes=task.model.vocab_with_blank,
+            )
 
         @jax.jit
         def run(params, b):
-            feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
+            feats, fl = device_pipeline(task, b)
             out = apply_ctc(params, task.model, feats, fl)
             if args.beam_width > 1:
                 p, l, s = ctc_prefix_beam_search(
                     out.logits, out.logit_len, task.model.blank_id,
                     beam_width=args.beam_width,
-                    lm_logp_fn=lm_fn,
-                    lm_weight=args.lm_weight if lm_fn is not None else 0.0,
+                    fusion_lm=lm_fusion,
+                    lm_weight=args.lm_weight if lm_fusion is not None else 0.0,
                 )
                 return p[:, 0], l[:, 0], s[:, 0]
             d, dl = ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)

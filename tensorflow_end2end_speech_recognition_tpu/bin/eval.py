@@ -55,8 +55,28 @@ def main(argv=None):
         print(f"decoding with beam width {beam_width}")
     else:
         eval_step = task_mod.make_eval_step(task)
-    for name, utts in (("dev", dev_utts), ("test", test_utts)):
-        ds = Dataset(utts, exp.eval_batch_size or exp.batch_size)
+    # per-set reporting like the reference's eval loops (SURVEY.md §3.3):
+    # on-disk corpora are scored over EVERY non-train split found (e.g.
+    # LibriSpeech dev_clean/dev_other/test_clean/test_other, CSJ eval1/2/3)
+    if exp.data_root is not None:
+        from ..data.npy_corpus import available_splits, load_npy_split
+
+        sets = [
+            (s, load_npy_split(exp.data_root, s, tokenizer))
+            for s in available_splits(exp.data_root)
+            if not s.startswith("train")
+        ]
+    else:
+        sets = [("dev", dev_utts), ("test", test_utts)]
+    for name, utts in sets:
+        cmvn_stats = None
+        if exp.cmvn == "speaker":
+            from ..frontend.speaker_cmvn import compute_speaker_stats
+
+            cmvn_stats = compute_speaker_stats(
+                utts, task.frontend, exp.eval_batch_size or exp.batch_size
+            )
+        ds = Dataset(utts, exp.eval_batch_size or exp.batch_size, cmvn_stats=cmvn_stats)
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
         print(
             f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} "

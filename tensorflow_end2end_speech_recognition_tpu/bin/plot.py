@@ -57,7 +57,7 @@ def main(argv=None):
     if exp.model_type in ("ctc", "multitask_ctc"):
         @jax.jit
         def run(params, b):
-            feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
+            feats, fl = device_pipeline(task, b)
             out = apply_ctc(params, task.model, feats, fl)
             return ctc_posteriors(out.logits), out.logit_len
 
@@ -70,7 +70,7 @@ def main(argv=None):
     else:
         @jax.jit
         def run(params, b):
-            feats, fl = device_pipeline(task, b["inputs"], b["input_len"])
+            feats, fl = device_pipeline(task, b)
             return greedy_decode(params, task.model, feats, fl)
 
         out = run(params, jb)

@@ -52,10 +52,13 @@ class Dataset:
         num_wav_buckets: int = 4,
         num_label_buckets: int = 3,
         input_kind: str = "auto",  # "wav" | "features" | "auto" (by ndim)
+        cmvn_stats: dict | None = None,  # speaker -> (mean, inv_std); batches
+        # then carry per-utterance cmvn_mean/cmvn_inv_std rows (SURVEY.md §2.9)
     ):
         if not utterances:
             raise ValueError("empty dataset")
         self.utterances = list(utterances)
+        self.cmvn_stats = cmvn_stats
         self.batch_size = batch_size
         self.sort_utt = sort_utt
         self.sort_stop_epoch = sort_stop_epoch if sort_stop_epoch is not None else (1 << 30)
@@ -143,4 +146,10 @@ class Dataset:
         if has_sub:
             batch["labels_sub"] = labels_sub
             batch["label_len_sub"] = label_len_sub
+        if self.cmvn_stats is not None:
+            from ..frontend.speaker_cmvn import batch_cmvn_rows
+
+            mean, inv_std = batch_cmvn_rows(self.cmvn_stats, all_utts)
+            batch["cmvn_mean"] = mean
+            batch["cmvn_inv_std"] = inv_std
         return batch

@@ -7,6 +7,9 @@ expected under ``data_root``:
 
     <data_root>/<split>/feats/<utt_id>.npy      float32 [T, D]
     <data_root>/<split>/transcripts.tsv         utt_id<TAB>token token ...
+                                            or  utt_id<TAB>speaker<TAB>tokens
+                                                (3 columns => per-speaker CMVN
+                                                grouping available)
 
 Tokens are looked up in the tokenizer (phones/words) or, for character
 tokenizers, the transcript text is encoded directly. Features are loaded
@@ -24,6 +27,31 @@ from .tokenizers import CharTokenizer, Tokenizer
 from .toy_corpus import Utterance
 
 
+def available_splits(data_root: str | Path) -> list[str]:
+    """Split names on disk (subdirs holding a transcripts.tsv), sorted.
+
+    The reference's corpora carried multiple eval sets — LibriSpeech
+    dev_clean/dev_other/test_clean/test_other, CSJ eval1/2/3 (SURVEY.md
+    §2.6/§3.3) — so the split inventory is discovered, not hard-coded.
+    """
+    root = Path(data_root)
+    if not root.is_dir():
+        raise FileNotFoundError(f"data_root {root} is not a directory")
+    return sorted(p.name for p in root.iterdir() if (p / "transcripts.tsv").exists())
+
+
+def pick_split(splits: list[str], *prefixes: str) -> str | None:
+    """First split exactly matching, then first by prefix, in prefix order."""
+    for pre in prefixes:
+        if pre in splits:
+            return pre
+    for pre in prefixes:
+        for s in splits:
+            if s.startswith(pre):
+                return s
+    return None
+
+
 def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> list[Utterance]:
     root = Path(data_root) / split
     tsv = root / "transcripts.tsv"
@@ -33,7 +61,12 @@ def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> l
     for line in tsv.read_text().splitlines():
         if not line.strip():
             continue
-        utt_id, text = line.split("\t", 1)
+        parts = line.split("\t", 2)
+        if len(parts) == 3:
+            utt_id, speaker, text = parts
+        else:
+            utt_id, text = parts
+            speaker = None
         feat_path = root / "feats" / f"{utt_id}.npy"
         feats = np.load(feat_path).astype(np.float32)
         if feats.ndim != 2:
@@ -42,7 +75,7 @@ def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> l
             ids = tokenizer.encode_text(text)
         else:
             ids = tokenizer.encode(text.split())
-        utts.append(Utterance(utt_id, feats, ids, text))
+        utts.append(Utterance(utt_id, feats, ids, text, speaker=speaker))
     if not utts:
         raise ValueError(f"no utterances in {tsv}")
     return utts

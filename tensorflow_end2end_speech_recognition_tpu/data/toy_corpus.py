@@ -26,6 +26,7 @@ class Utterance:
     label_ids: list
     text: str
     sub_ids: list | None = None  # multitask sub-task labels (e.g. phones under chars)
+    speaker: str | None = None  # per-speaker CMVN grouping (SURVEY.md §2.9)
 
 
 class ToyCorpus:
@@ -39,6 +40,7 @@ class ToyCorpus:
         seed: int = 0,
         noise: float = 0.02,
         vocab_size: int | None = None,  # restrict labels to the first N units
+        num_speakers: int = 4,  # speakers differ by gain (CMVN-removable)
     ):
         self.label_type = label_type
         self.sample_rate = sample_rate
@@ -57,13 +59,22 @@ class ToyCorpus:
         f2 = 500.0 + 3300.0 * rng.permutation(v) / max(v - 1, 1)
         dur = rng.randint(int(0.06 * sample_rate), int(0.12 * sample_rate), size=v)
         self._unit_params = (f1, f2, dur)
+        # per-speaker loudness: a multiplicative gain shifts log-features by a
+        # speaker-specific constant, which per-speaker CMVN removes exactly
+        gains = 0.5 + rng.rand(max(num_speakers, 1)) * 1.5
         self.utterances: list[Utterance] = []
         for i in range(num_utts):
             n_units = rng.randint(min_units, max_units + 1)
             ids = rng.randint(0, draw_v, size=n_units).tolist()
             wav = self._render(ids, rng, noise)
             text = " ".join(self.tokenizer.units[j] for j in ids)
-            self.utterances.append(Utterance(f"toy{i:05d}", wav, ids, text))
+            spk = i % max(num_speakers, 1)
+            self.utterances.append(
+                Utterance(
+                    f"toy{i:05d}", (wav * gains[spk]).astype(np.float32), ids, text,
+                    speaker=f"spk{spk:02d}",
+                )
+            )
 
     def _render(self, ids, rng, noise) -> np.ndarray:
         f1, f2, dur = self._unit_params

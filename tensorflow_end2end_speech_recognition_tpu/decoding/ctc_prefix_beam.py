@@ -15,9 +15,15 @@ different parents (the classic prefix-merge) are combined with an O(N^2)
 equality-masked logsumexp, N = W*(K+1) — small, dense, VPU-friendly — then
 ``lax.top_k`` keeps the best W by combined (blank + non-blank) mass.
 
-An optional shallow-fusion hook adds ``lm_weight * logp_lm(c | prefix)`` to
-extension candidates; the LM advances per accepted token via its own carried
-state (see ``decoding/lm_fusion.py``).
+Shallow fusion adds ``lm_weight * logp_lm(c | prefix)`` to extension
+candidates. Two hooks:
+
+- ``fusion_lm`` (preferred): a :class:`FusionLM` whose recurrent state is
+  CARRIED per beam slot and advanced once per accepted extension, with
+  beam-parent gathers on selection — O(T) LM steps per utterance, the same
+  incremental design the attention beam uses.
+- ``lm_logp_fn`` (stateless fallback): re-scores every prefix from scratch
+  each frame — O(T·L) LM steps; kept for arbitrary prefix-scoring functions.
 
 Reference pattern sources for the merge-by-sort/top-k shape: PAPERS.md #1/#2
 (GPU CTC decoding). Algorithm follows Hannun et al.'s prefix beam search.
@@ -25,7 +31,7 @@ Reference pattern sources for the merge-by-sort/top-k shape: PAPERS.md #1/#2
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +39,21 @@ import jax.numpy as jnp
 _NEG = -1e30
 _H1_MULT = jnp.uint32(2654435761)  # Knuth multiplicative
 _H2_MULT = jnp.uint32(40503)
+
+
+class FusionLM(NamedTuple):
+    """Carried-state LM interface for shallow fusion inside the beam scan.
+
+    ``init(b, w) -> (state, logp [B, W, C])``: per-slot LM state after
+    consuming <sos>, plus the next-token distribution mapped onto the CTC
+    class space (the blank column is ignored — blanks never extend).
+    ``step(state, tokens [B, W]) -> (state, logp [B, W, C])``: advance every
+    slot by one token. State leaves must be [B, W, ...] so beam-parent
+    gathers can reindex them.
+    """
+
+    init: Callable[[int, int], tuple[Any, jnp.ndarray]]
+    step: Callable[[Any, jnp.ndarray], tuple[Any, jnp.ndarray]]
 
 
 class BeamState(NamedTuple):
@@ -44,6 +65,8 @@ class BeamState(NamedTuple):
     pb: jnp.ndarray  # [B, W] log prob ending in blank
     pnb: jnp.ndarray  # [B, W] log prob ending in non-blank
     lm_score: jnp.ndarray  # [B, W] accumulated LM log prob (0 without LM)
+    lm_state: Any = None  # carried FusionLM state (leaves [B, W, ...])
+    lm_logp: jnp.ndarray | None = None  # cached next-token logp [B, W, C]
 
 
 def ctc_prefix_beam_search(
@@ -55,6 +78,7 @@ def ctc_prefix_beam_search(
     max_prefix_len: int | None = None,
     lm_logp_fn=None,  # (prefixes [B,W,L], lengths [B,W]) -> logp [B,W,C]
     lm_weight: float = 0.0,
+    fusion_lm: FusionLM | None = None,  # carried-state LM (preferred)
 ):
     """Returns (prefixes [B, W, L], lengths [B, W], scores [B, W]) sorted best-first.
 
@@ -75,6 +99,8 @@ def ctc_prefix_beam_search(
     slot = jnp.arange(w, dtype=jnp.uint32)
     sent1 = jnp.where(slot == 0, 0, jnp.uint32(0x80000000) + slot)
     sent2 = jnp.where(slot == 0, 0, jnp.uint32(0xC0000000) + slot)
+    use_fusion = fusion_lm is not None and lm_weight
+    lm_state0, lm_logp0 = fusion_lm.init(b, w) if use_fusion else (None, None)
     state = BeamState(
         prefixes=jnp.full((b, w, l_max), -1, jnp.int32),
         lengths=jnp.zeros((b, w), jnp.int32),
@@ -84,6 +110,8 @@ def ctc_prefix_beam_search(
         pb=jnp.full((b, w), _NEG).at[:, 0].set(0.0),
         pnb=jnp.full((b, w), _NEG),
         lm_score=jnp.zeros((b, w)),
+        lm_state=lm_state0,
+        lm_logp=lm_logp0,
     )
 
     def step(state, ti):
@@ -112,7 +140,10 @@ def ctc_prefix_beam_search(
         ext_pnb = jnp.where(parent_dead[..., None], _NEG, ext_pnb)
         # full prefixes cannot extend further
         ext_pnb = jnp.where((state.lengths >= l_max)[..., None], _NEG, ext_pnb)
-        if lm_logp_fn is not None and lm_weight:
+        if use_fusion:
+            # carried state: the next-token distribution is already cached
+            ext_lm = jnp.take_along_axis(state.lm_logp, ext_c, axis=-1)  # [B, W, K]
+        elif lm_logp_fn is not None and lm_weight:
             lm_lp = lm_logp_fn(state.prefixes, state.lengths)  # [B, W, C]
             ext_lm = jnp.take_along_axis(lm_lp, ext_c, axis=-1)  # [B, W, K]
         else:
@@ -181,6 +212,25 @@ def ctc_prefix_beam_search(
             jnp.arange(l_max)[None, None, :] == new_len[..., None]
         ) & is_ext[..., None]
         new_prefixes = jnp.where(one_hot_pos, sel_char[..., None], new_prefixes)
+        new_lm_state, new_lm_logp = state.lm_state, state.lm_logp
+        if use_fusion:
+            # advance the LM once per accepted extension (parent-gathered,
+            # exactly like attention_beam's incremental LM state)
+            def pgather(v):
+                idx = sel_parent.reshape((b, w) + (1,) * (v.ndim - 2))
+                return jnp.take_along_axis(v, idx, axis=1)
+
+            par_state = jax.tree.map(pgather, state.lm_state)
+            par_logp = pgather(state.lm_logp)
+            adv_state, adv_logp = fusion_lm.step(
+                par_state, jnp.where(is_ext, sel_char, 0)
+            )
+
+            def pick(n, o):
+                return jnp.where(is_ext.reshape((b, w) + (1,) * (n.ndim - 2)), n, o)
+
+            new_lm_state = jax.tree.map(pick, adv_state, par_state)
+            new_lm_logp = jnp.where(is_ext[..., None], adv_logp, par_logp)
         new_state = BeamState(
             prefixes=new_prefixes,
             lengths=new_len + is_ext.astype(jnp.int32),
@@ -190,6 +240,8 @@ def ctc_prefix_beam_search(
             pb=gather(merged_pb),
             pnb=gather(merged_pnb),
             lm_score=gather(cand_lm),
+            lm_state=new_lm_state,
+            lm_logp=new_lm_logp,
         )
         # frames past logit_len: carry state unchanged
         active = (ti < logit_len)[:, None]

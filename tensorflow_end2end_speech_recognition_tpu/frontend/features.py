@@ -42,7 +42,9 @@ class FrontendConfig(NamedTuple):
     upper_edge_hz: float | None = None  # default: nyquist - 400
     add_deltas: bool = True  # append delta + delta-delta (3x feature dim)
     delta_window: int = 2
-    cmvn: str = "utterance"  # "utterance" | "none"
+    cmvn: str = "utterance"  # "utterance" | "speaker" | "none"; "speaker" is
+    # mask-only here — corpus-level stats are applied by the task pipeline
+    # (frontend/speaker_cmvn.py), not per batch
     cmvn_var_norm: bool = True
     log_floor: float = 1e-10
 

@@ -95,6 +95,42 @@ def lm_prefix_logp(params, cfg: LMConfig, prefixes: jnp.ndarray, lengths: jnp.nd
     return out.reshape(b, w, cfg.vocab)
 
 
+def make_fusion_lm(params, cfg: LMConfig, sos_id: int, num_ctc_classes: int):
+    """Carried-state shallow-fusion adapter for the CTC prefix beam.
+
+    Maps the LM vocabulary (task units + <sos>/<eos>) onto the CTC class
+    space (units + trailing blank): unit columns align, the blank column
+    scores 0 (blanks never extend a prefix, so it is never read). Returns a
+    ``decoding.ctc_prefix_beam.FusionLM`` whose state leaves are [B, W, H],
+    advanced once per accepted token — O(T) LM steps per utterance instead
+    of the O(T·L) full-prefix recompute of ``lm_prefix_logp``.
+    """
+    from ..decoding.ctc_prefix_beam import FusionLM
+
+    def _map_vocab(logp_flat, b, w):  # [B*W, V] -> [B, W, C_ctc]
+        units = logp_flat[:, : num_ctc_classes - 1]
+        blank = jnp.zeros_like(units[:, :1])
+        return jnp.concatenate([units, blank], axis=-1).reshape(b, w, num_ctc_classes)
+
+    def _flatten(state, b, w):
+        return jax.tree.map(lambda v: v.reshape((b * w,) + v.shape[2:]), state)
+
+    def _unflatten(state, b, w):
+        return jax.tree.map(lambda v: v.reshape((b, w) + v.shape[1:]), state)
+
+    def init(b, w):
+        state = lm_init_state(cfg, b * w)
+        state, logp = lm_step(params, cfg, state, jnp.full((b * w,), sos_id, jnp.int32))
+        return _unflatten(state, b, w), _map_vocab(logp, b, w)
+
+    def step(state, tokens):  # tokens [B, W]
+        b, w = tokens.shape
+        state, logp = lm_step(params, cfg, _flatten(state, b, w), tokens.reshape(b * w))
+        return _unflatten(state, b, w), _map_vocab(logp, b, w)
+
+    return FusionLM(init=init, step=step)
+
+
 def lm_sequence_nll(params, cfg: LMConfig, tokens: jnp.ndarray, lengths: jnp.ndarray, sos_id: int):
     """Teacher-forced NLL per sequence, [B] (for LM training / rescoring)."""
     b, u = tokens.shape

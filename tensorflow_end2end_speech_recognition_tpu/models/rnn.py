@@ -39,6 +39,19 @@ class RNNSpec(NamedTuple):
     forget_bias: float = 1.0
     compute_dtype: str = "float32"  # "bfloat16" runs gate matmuls on the MXU
     # at 2x rate with f32 accumulation; carries/outputs stay f32
+    impl: str = "auto"  # "auto" | "scan" | "pallas": "pallas" = VMEM-resident
+    # layer kernel (ops/pallas/lstm_kernel.py) for the plain-LSTM fast path;
+    # "auto" picks it on TPU when eligible
+
+    @property
+    def pallas_eligible(self) -> bool:
+        return (
+            self.cell == "lstm"
+            and not self.use_peephole
+            and not self.num_proj
+            and not self.clip_activation
+            and self.compute_dtype == "float32"
+        )
 
     @property
     def out_dim(self) -> int:
@@ -146,6 +159,24 @@ def rnn_scan(
         src = jnp.where(idx < lengths[:, None], lengths[:, None] - 1 - idx, idx)
         xproj = jnp.take_along_axis(xproj, src[..., None], axis=1)
 
+    use_pallas = spec.impl == "pallas" or (
+        spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu"
+    )
+    if use_pallas and spec.pallas_eligible:
+        from ..ops.pallas.lstm_kernel import lstm_layer_pallas
+
+        ys = lstm_layer_pallas(
+            xproj, params["wh"], mask[..., 0].astype(jnp.float32), spec.forget_bias
+        )
+        # final h = output at each row's last valid step (zeros for empty
+        # rows); the kernel does not materialize the final cell state — use
+        # impl="scan" if a caller ever needs it (none do today)
+        last = jnp.clip(lengths - 1, 0, t - 1)
+        h_fin = jnp.take_along_axis(ys, last[:, None, None], axis=1)[:, 0]
+        if reverse:
+            ys = jnp.take_along_axis(ys, src[..., None], axis=1)
+        return ys, (h_fin, None)
+
     step = _lstm_step if spec.cell == "lstm" else _gru_step
     if spec.cell == "lstm":
         carry0 = (jnp.zeros((b, spec.out_dim)), jnp.zeros((b, h)))
@@ -196,13 +227,32 @@ def _flip_valid(x, lengths):
 def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
     """Concatenated forward+backward outputs, [B, T, 2*out_dim].
 
-    Deliberately two independent ``lax.scan``s: the directions have no data
-    dependency, so XLA overlaps their while-loops on device. Measured on the
-    LS-960-shape benchmark this beats both a batch-stacked single scan
-    (-13%) and a block-diagonal stacked-weight single scan (-5%) — the
-    reshapes/concats those variants add per step cost more than the halved
-    iteration count saves.
+    Scan path: deliberately two independent ``lax.scan``s — the directions
+    have no data dependency, so XLA overlaps their while-loops on device.
+    Measured on the LS-960-shape benchmark this beats both a batch-stacked
+    single scan (-13%) and a block-diagonal stacked-weight single scan (-5%).
+
+    Pallas path: ONE fused kernel advancing both directions per grid step
+    (ops/pallas/lstm_kernel.lstm_bidi_pallas) — two separate pallas calls
+    would serialize on the core, losing exactly the overlap the two scans
+    get; fusing restores it with VMEM-resident weights/state.
     """
+    use_pallas = spec.impl == "pallas" or (
+        spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu"
+    )
+    if use_pallas and spec.pallas_eligible:
+        from ..ops.pallas.lstm_kernel import lstm_bidi_pallas
+
+        b, t, _ = xs.shape
+        xproj_f = jnp.matmul(xs, params["fwd"]["wx"], preferred_element_type=jnp.float32) + params["fwd"]["b"]
+        xproj_b = jnp.matmul(xs, params["bwd"]["wx"], preferred_element_type=jnp.float32) + params["bwd"]["b"]
+        xproj_b = _flip_valid(xproj_b, lengths)
+        mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
+        ys_f, ys_b = lstm_bidi_pallas(
+            xproj_f, xproj_b, params["fwd"]["wh"], params["bwd"]["wh"],
+            mask, spec.forget_bias,
+        )
+        return jnp.concatenate([ys_f, _flip_valid(ys_b, lengths)], axis=-1)
     fwd, _ = rnn_scan(params["fwd"], spec, xs, lengths, reverse=False)
     bwd, _ = rnn_scan(params["bwd"], spec, xs, lengths, reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -152,12 +152,19 @@ def forward_train(
     feats: jnp.ndarray,
     feat_len: jnp.ndarray,
     labels_in: jnp.ndarray,  # [B, U] decoder inputs: [sos, l1, ..., l_{U-1}]
-    rng: jax.Array,
+    rng: jax.Array | None,
     ss_prob: float | jnp.ndarray | None = None,
+    train: bool = True,
 ) -> Seq2SeqOutput:
-    """Teacher-forced unroll with scheduled sampling over the label axis."""
+    """Teacher-forced unroll with scheduled sampling over the label axis.
+
+    ``train=False`` (rng may be None) disables dropout: used for the dev
+    teacher-forced NLL that the reference logged per epoch.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # consumed only by (inactive) sampling
     krng, drng, srng = jax.random.split(rng, 3)
-    enc, ctc_logits, ctc_len = encode(params, cfg, feats, feat_len, train=True, rng=krng)
+    enc, ctc_logits, ctc_len = encode(params, cfg, feats, feat_len, train=train, rng=krng)
     enc_out = enc.outputs
     enc_keys = precompute_keys(params["attention"], cfg.attention, enc_out)
     enc_mask = jnp.arange(enc_out.shape[1])[None, :] < enc.lengths[:, None]
@@ -171,7 +178,7 @@ def forward_train(
         use_model = jax.random.bernoulli(key_s, ss, token_gold.shape)
         token = jnp.where(use_model, prev_pred, token_gold)
         carry, logits = _decoder_step(
-            params, cfg, enc_out, enc_keys, enc_mask, carry, token, key_d, train=True
+            params, cfg, enc_out, enc_keys, enc_mask, carry, token, key_d, train=train
         )
         pred = jnp.argmax(logits, axis=-1)
         return (carry, pred), (logits, carry[3])

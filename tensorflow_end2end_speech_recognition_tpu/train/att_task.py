@@ -81,7 +81,7 @@ def scheduled_sampling_prob(task: AttTaskConfig, step):
 
 def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     cfg = task.model
-    feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+    feats, feat_len = device_pipeline(task, batch)
     if train and task.spec_augment is not None and rng is not None:
         rng, aug_rng = jax.random.split(rng)
         feats = spec_augment(aug_rng, feats, feat_len, task.spec_augment)
@@ -136,7 +136,7 @@ def make_eval_step(task: AttTaskConfig):
     @jax.jit
     def eval_step(params, batch):
         cfg = task.model
-        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        feats, feat_len = device_pipeline(task, batch)
         out = greedy_decode(params, cfg, feats, feat_len)
         # predicted_ids are eos-filled after finish; length = first-eos index
         preds = out.predicted_ids
@@ -144,9 +144,14 @@ def make_eval_step(task: AttTaskConfig):
         seen = jnp.cumsum(is_eos, axis=1) > 0
         dec_len = jnp.sum(~seen, axis=1)
         preds = jnp.where(seen, -1, preds)
-        # third slot keeps the (decoded, lengths, per-utt loss) eval-step
-        # contract shared with the CTC task (loss not tracked here)
-        return preds, dec_len, jnp.zeros((preds.shape[0],))
+        # per-utterance teacher-forced dev NLL (no sampling, no dropout) so
+        # metrics.csv/summary report a real loss for attention runs
+        labels_in, targets, mask = make_decoder_io(cfg, batch["labels"], batch["label_len"])
+        tf_out = forward_train(
+            params, cfg, feats, feat_len, labels_in, rng=None, ss_prob=0.0, train=False
+        )
+        nll = smoothed_cross_entropy(tf_out.logits, targets, mask, 0.0)
+        return preds, dec_len, nll
 
     return eval_step
 
@@ -162,7 +167,7 @@ def make_beam_eval_step(task: AttTaskConfig, beam_width: int, length_penalty: fl
 
     @jax.jit
     def eval_step(params, batch):
-        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        feats, feat_len = device_pipeline(task, batch)
         result = attention_beam_search(
             params, cfg, feats, feat_len,
             beam_width=beam_width, length_penalty=length_penalty,

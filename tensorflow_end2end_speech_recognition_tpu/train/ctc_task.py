@@ -48,12 +48,24 @@ class CTCTaskConfig(NamedTuple):
         return base * self.num_stack * (2 * self.splice + 1)
 
 
-def device_pipeline(task: CTCTaskConfig, inputs: jnp.ndarray, input_len: jnp.ndarray):
-    """Raw batch -> model-ready features, fully on device inside the jit."""
+def device_pipeline(task: CTCTaskConfig, batch: dict):
+    """Raw batch -> model-ready features, fully on device inside the jit.
+
+    ``batch["cmvn_mean"]``/``batch["cmvn_inv_std"]`` present (per-speaker
+    CMVN, SURVEY.md §2.9): base frames are normalized with the speaker's
+    corpus-level stats before stacking/splicing; the frontend itself then
+    runs with its own CMVN disabled (cmvn="speaker" is mask-only there).
+    """
+    inputs, input_len = batch["inputs"], batch["input_len"]
     if task.frontend is not None:
         feats, feat_len = extract_features(inputs, input_len, task.frontend)
     else:
         feats, feat_len = inputs, input_len
+    if "cmvn_mean" in batch:
+        t = feats.shape[1]
+        mask = (jnp.arange(t)[None, :, None] < feat_len[:, None, None]).astype(feats.dtype)
+        feats = (feats - batch["cmvn_mean"][:, None, :]) * batch["cmvn_inv_std"][:, None, :]
+        feats = feats * mask
     feats, feat_len = stack_frames(feats, feat_len, task.num_stack, task.num_skip)
     feats = splice_frames(feats, task.splice)
     return feats, feat_len
@@ -64,7 +76,7 @@ def init_params(key, task: CTCTaskConfig, input_dim: int | None = None):
 
 
 def forward_loss(params, task: CTCTaskConfig, batch, train: bool, rng=None):
-    feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+    feats, feat_len = device_pipeline(task, batch)
     if train and task.spec_augment is not None and rng is not None:
         rng, aug_rng = jax.random.split(rng)
         feats = spec_augment(aug_rng, feats, feat_len, task.spec_augment)
@@ -120,7 +132,7 @@ def make_eval_step(task: CTCTaskConfig):
 
     @jax.jit
     def eval_step(params, batch):
-        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        feats, feat_len = device_pipeline(task, batch)
         out = apply_ctc(params, task.model, feats, feat_len, train=False)
         nll = ctc_loss(
             out.logits, out.logit_len, batch["labels"], batch["label_len"],
@@ -139,7 +151,7 @@ def make_beam_eval_step(task: CTCTaskConfig, beam_width: int, top_k_classes: int
 
     @jax.jit
     def eval_step(params, batch):
-        feats, feat_len = device_pipeline(task, batch["inputs"], batch["input_len"])
+        feats, feat_len = device_pipeline(task, batch)
         out = apply_ctc(params, task.model, feats, feat_len, train=False)
         nll = ctc_loss(
             out.logits, out.logit_len, batch["labels"], batch["label_len"],

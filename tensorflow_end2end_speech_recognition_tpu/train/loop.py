@@ -55,14 +55,27 @@ def build_corpus_splits(exp: ExperimentConfig):
     synthetic toy corpus (no corpora ship with this environment).
     """
     if exp.data_root is not None:
-        from ..data.npy_corpus import load_npy_split
+        from ..data.npy_corpus import available_splits, load_npy_split, pick_split
         from ..data.tokenizers import build_tokenizer
 
         tokenizer = build_tokenizer(exp.label_type)
-        splits = []
-        for split in ("train", "dev", "test"):
-            splits.append(load_npy_split(exp.data_root, split, tokenizer))
-        train, dev, test = splits
+        names = available_splits(exp.data_root)
+        # train split: explicit train_data_size (LibriSpeech train100h/460h/
+        # 960h) wins, else "train"
+        train_name = (
+            exp.train_data_size
+            if exp.train_data_size and exp.train_data_size in names
+            else pick_split(names, "train")
+        )
+        dev_name = pick_split(names, "dev")  # "dev" then dev_clean etc.
+        test_name = pick_split(names, "test", "eval") or dev_name
+        if train_name is None or dev_name is None:
+            raise FileNotFoundError(
+                f"data_root {exp.data_root} needs train+dev splits; found {names}"
+            )
+        train = load_npy_split(exp.data_root, train_name, tokenizer)
+        dev = load_npy_split(exp.data_root, dev_name, tokenizer)
+        test = load_npy_split(exp.data_root, test_name, tokenizer)
     else:
         corpus = ToyCorpus(
             label_type=exp.label_type,
@@ -190,13 +203,24 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     exp.to_yaml(model_dir / "config.yml")  # provenance, as the reference saved it
 
     train_utts, dev_utts, _, tokenizer = build_corpus_splits(exp)
+    task, task_mod = build_task(exp, tokenizer, feature_dim_of(train_utts))
+    cmvn_stats = None
+    if exp.cmvn == "speaker":
+        # one corpus sweep for per-speaker mean/var (SURVEY.md §2.9); batches
+        # then carry each utterance's speaker stats into the jitted pipeline
+        from ..frontend.speaker_cmvn import compute_speaker_stats
+
+        cmvn_stats = compute_speaker_stats(
+            train_utts + dev_utts, task.frontend, exp.eval_batch_size or exp.batch_size
+        )
     train_ds = Dataset(
         train_utts, exp.batch_size, sort_utt=exp.sort_utt,
-        sort_stop_epoch=exp.sort_stop_epoch, seed=exp.seed,
+        sort_stop_epoch=exp.sort_stop_epoch, seed=exp.seed, cmvn_stats=cmvn_stats,
     )
-    dev_ds = Dataset(dev_utts, exp.eval_batch_size or exp.batch_size, sort_utt=True)
-
-    task, task_mod = build_task(exp, tokenizer, feature_dim_of(train_utts))
+    dev_ds = Dataset(
+        dev_utts, exp.eval_batch_size or exp.batch_size, sort_utt=True,
+        cmvn_stats=cmvn_stats,
+    )
     multitask = exp.model_type == "multitask_ctc"
     is_att = exp.model_type in ("attention", "joint_ctc_attention")
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
@@ -214,7 +238,7 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
 
     csv_path = model_dir / "metrics.csv"
     with open(csv_path, "w", newline="") as f:
-        csv.writer(f).writerow(["epoch", "step", "train_loss", "dev_error_rate", "lr", "utts_per_sec"])
+        csv.writer(f).writerow(["epoch", "step", "train_loss", "dev_loss", "dev_error_rate", "lr", "utts_per_sec"])
 
     rng = jax.random.PRNGKey(exp.seed + 1)
     lr = controller.lr
@@ -278,7 +302,7 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             f"dev_err {dev['error_rate']:.4f} {ups:.1f} utts/s"
         )
         with open(csv_path, "a", newline="") as f:
-            csv.writer(f).writerow([epoch, step, train_loss, dev["error_rate"], lr, ups])
+            csv.writer(f).writerow([epoch, step, train_loss, dev["loss"], dev["error_rate"], lr, ups])
         if dev["error_rate"] < best_dev:
             best_dev = dev["error_rate"]
         # controller advances first so the checkpointed state already
@@ -300,6 +324,7 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         )
         summary = {
             "epochs": epoch + 1, "steps": step, "train_loss": train_loss,
+            "dev_loss": dev["loss"],
             "dev_error_rate": dev["error_rate"], "best_dev_error_rate": best_dev,
             "utts_per_sec": ups,
         }

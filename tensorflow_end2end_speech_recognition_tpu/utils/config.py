@@ -34,6 +34,7 @@ class ExperimentConfig:
     input_size: int = 40
     use_energy: bool = True
     use_delta: bool = True
+    cmvn: str = "utterance"  # "utterance" | "speaker" | "none" (SURVEY.md §2.9)
     num_stack: int = 1
     num_skip: int = 1
     splice: int = 0
@@ -143,11 +144,13 @@ class ExperimentConfig:
                 num_ceps=self.input_size,
                 use_energy=self.use_energy,
                 add_deltas=self.use_delta,
+                cmvn=self.cmvn,
             )
         return FrontendConfig(
             num_mels=self.input_size,
             use_energy=self.use_energy,
             add_deltas=self.use_delta,
+            cmvn=self.cmvn,
         )
 
     def encoder_config(self) -> EncoderConfig:

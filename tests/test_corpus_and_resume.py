@@ -41,11 +41,12 @@ def test_data_root_via_config(tmp_path):
     assert len(train) == len(dev) == len(test) == 6
 
 
-def _write_learnable_feature_corpus(root, tok, n_train=24, d=16, seed=0):
+def _write_learnable_feature_corpus(root, tok, n_train=24, d=16, seed=0, splits=None):
     """Features where label c paints dim c: a CTC model can actually learn it."""
     rng = np.random.RandomState(seed)
     units = tok.units[:6]
-    for split, n in (("train", n_train), ("dev", 8), ("test", 8)):
+    splits = splits or (("train", n_train), ("dev", 8), ("test", 8))
+    for split, n in splits:
         (root / split / "feats").mkdir(parents=True)
         lines = []
         for i in range(n):
@@ -82,6 +83,38 @@ def test_fit_trains_on_precomputed_features(tmp_path):
     from tensorflow_end2end_speech_recognition_tpu.bin.eval import main as eval_main
 
     eval_main([str(mdir)])
+
+
+def test_multi_eval_set_corpus(tmp_path, capsys):
+    """Reference eval-set structure: every non-train split on disk is scored
+    and reported per set (LibriSpeech dev_clean/other, test_clean/other)."""
+    from tensorflow_end2end_speech_recognition_tpu.bin.eval import main as eval_main
+    from tensorflow_end2end_speech_recognition_tpu.data.npy_corpus import (
+        available_splits,
+        pick_split,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import CharTokenizer
+
+    set_names = ["train960h", "dev_clean", "dev_other", "test_clean", "test_other"]
+    _write_learnable_feature_corpus(
+        tmp_path, CharTokenizer(),
+        splits=[(s, 16 if s.startswith("train") else 4) for s in set_names],
+    )
+    assert available_splits(tmp_path) == sorted(set_names)
+    assert pick_split(sorted(set_names), "dev") == "dev_clean"
+    exp = ExperimentConfig(
+        corpus="librispeech", label_type="character", data_root=str(tmp_path),
+        train_data_size="train960h",
+        num_units=16, num_layers=1, batch_size=8, num_epoch=1,
+    )
+    mdir = tmp_path / "model"
+    fit(exp, mdir, print_fn=lambda *a: None)
+    capsys.readouterr()
+    eval_main([str(mdir)])
+    out = capsys.readouterr().out
+    for s in ("dev_clean", "dev_other", "test_clean", "test_other"):
+        assert f"{s} (epoch" in out, out
+    assert "train960h (epoch" not in out
 
 
 def test_multitask_sub_labels(tmp_path):

@@ -141,3 +141,45 @@ def test_lm_fusion_changes_ranking():
     best0 = int(p0[0, 0, 0])
     best1 = int(p1[0, 0, 0])
     assert best0 == 0 and best1 == 1
+
+
+def test_carried_fusion_matches_full_recompute():
+    """The carried-state FusionLM path (O(T) LM steps) must produce the same
+    beams and scores as the legacy full-prefix-recompute path (O(T*L))."""
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import (
+        LMConfig,
+        init_lm,
+        lm_prefix_logp,
+        make_fusion_lm,
+    )
+
+    n_units = 5  # CTC classes = units + blank
+    c = n_units + 1
+    blank = n_units
+    cfg = LMConfig(vocab=n_units + 2, num_units=8, embedding_dim=4)  # +sos/eos
+    lm_params = init_lm(jax.random.PRNGKey(3), cfg)
+    sos = n_units  # lm vocab layout: units, sos, eos
+
+    rng = np.random.RandomState(11)
+    logits = rng.randn(2, 9, c).astype(np.float32) * 1.5
+    logit_len = np.array([9, 6])
+
+    def legacy_fn(prefixes, lengths):
+        lp = lm_prefix_logp(lm_params, cfg, prefixes, lengths, sos_id=sos)
+        units = lp[..., :n_units]
+        return jnp.concatenate([units, jnp.zeros_like(units[..., :1])], -1)
+
+    fused = make_fusion_lm(lm_params, cfg, sos_id=sos, num_ctc_classes=c)
+
+    args = (jnp.asarray(logits), jnp.asarray(logit_len), blank)
+    kw = dict(beam_width=6, top_k_classes=n_units, lm_weight=0.5)
+    p0, l0, s0 = ctc_prefix_beam_search(*args, lm_logp_fn=legacy_fn, **kw)
+    p1, l1, s1 = ctc_prefix_beam_search(*args, fusion_lm=fused, **kw)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4, atol=1e-4)
+    # and fusion actually changed the ranking vs no LM somewhere
+    p2, _, _ = ctc_prefix_beam_search(*args, beam_width=6, top_k_classes=n_units)
+    assert not np.array_equal(np.asarray(p1), np.asarray(p2))

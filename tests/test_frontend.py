@@ -130,3 +130,74 @@ def test_mfcc_matches_dct_oracle(wav):
     oracle = logmel @ np.asarray(_dct_matrix(cfg))
     np.testing.assert_allclose(ours, oracle, atol=1e-3)
     assert cfg.feature_dim == 39  # 13 x3 deltas
+
+
+def test_speaker_cmvn_stats_match_numpy_oracle():
+    """Per-speaker stats from the device sweep == grouping features by
+    speaker in float64 numpy; application normalizes each utterance with its
+    own speaker's corpus-level stats."""
+    from tensorflow_end2end_speech_recognition_tpu.data import Dataset, ToyCorpus
+    from tensorflow_end2end_speech_recognition_tpu.frontend.speaker_cmvn import (
+        GLOBAL_KEY,
+        compute_speaker_stats,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import (
+        CTCTaskConfig,
+        device_pipeline,
+    )
+
+    corpus = ToyCorpus(num_utts=8, vocab_size=4, min_units=2, max_units=3,
+                       num_speakers=2, seed=5)
+    cfg = FrontendConfig(add_deltas=False, use_energy=False, cmvn="speaker")
+    stats = compute_speaker_stats(corpus.utterances, cfg, batch_size=4)
+    assert set(stats) == {"spk00", "spk01", GLOBAL_KEY}
+
+    # numpy oracle: single-utterance extraction, float64 accumulation
+    base = cfg._replace(cmvn="none")
+    per_utt = {}
+    groups = {}
+    for u in corpus.utterances:
+        f, fl = extract_features(jnp.asarray(u.wav)[None], jnp.asarray([len(u.wav)]), base)
+        f = np.asarray(f[0, : int(fl[0])], np.float64)
+        per_utt[u.name] = f
+        groups.setdefault(u.speaker, []).append(f)
+    for spk, fs in groups.items():
+        allf = np.concatenate(fs)
+        mean, var = allf.mean(0), allf.var(0)
+        np.testing.assert_allclose(stats[spk][0], mean, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(stats[spk][1], 1.0 / np.sqrt(var + 1e-8), rtol=1e-3)
+
+    # application inside the task pipeline
+    task = CTCTaskConfig(
+        model=CTCConfig(encoder=EncoderConfig(num_units=8, num_layers=1),
+                        num_classes=4),
+        frontend=cfg,
+    )
+    ds = Dataset(corpus.utterances, batch_size=8, cmvn_stats=stats)
+    batch = next(ds.batches(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+    feats, feat_len = device_pipeline(task, jb)
+    feats, feat_len = np.asarray(feats), np.asarray(feat_len)
+    by_name = {u.name: u for u in corpus.utterances}
+    for i, name in enumerate(batch["names"]):
+        if name is None:
+            continue
+        spk = by_name[name].speaker
+        want = (per_utt[name] - stats[spk][0]) * stats[spk][1]
+        np.testing.assert_allclose(feats[i, : feat_len[i]], want, rtol=1e-3, atol=1e-3)
+
+
+def test_fit_with_speaker_cmvn(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import ExperimentConfig
+
+    exp = ExperimentConfig(
+        corpus="toy", label_type="phone61", toy_num_utts=12, toy_vocab_size=5,
+        use_delta=False, use_energy=False, cmvn="speaker",
+        num_units=12, num_layers=1, batch_size=6, num_epoch=1,
+    )
+    s = fit(exp, tmp_path / "m", print_fn=lambda *a: None)
+    assert np.isfinite(s["train_loss"])
+    assert np.isfinite(s["dev_loss"])

@@ -1,0 +1,77 @@
+"""Pallas LSTM layer kernel vs the lax.scan reference path (values + grads)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_end2end_speech_recognition_tpu.models.rnn import (
+    RNNSpec,
+    bidirectional_scan,
+    init_bidirectional,
+    init_rnn_params,
+    rnn_scan,
+)
+
+
+def _data(b=4, t=7, d=5, h=8, seed=0):
+    rng = np.random.RandomState(seed)
+    xs = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    lengths = jnp.asarray([t, t - 2, 3, 1][:b])
+    spec_scan = RNNSpec(cell="lstm", num_units=h, impl="scan")
+    spec_pl = RNNSpec(cell="lstm", num_units=h, impl="pallas")
+    params = init_rnn_params(jax.random.PRNGKey(seed), spec_scan, d)
+    return xs, lengths, spec_scan, spec_pl, params
+
+
+def test_forward_matches_scan():
+    xs, lengths, spec_scan, spec_pl, params = _data()
+    ys_ref, (h_ref, c_ref) = rnn_scan(params, spec_scan, xs, lengths)
+    ys_pl, (h_pl, _) = rnn_scan(params, spec_pl, xs, lengths)
+    np.testing.assert_allclose(np.asarray(ys_pl), np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_forward_matches_scan_reverse():
+    xs, lengths, spec_scan, spec_pl, params = _data(seed=1)
+    ys_ref, _ = rnn_scan(params, spec_scan, xs, lengths, reverse=True)
+    ys_pl, _ = rnn_scan(params, spec_pl, xs, lengths, reverse=True)
+    np.testing.assert_allclose(np.asarray(ys_pl), np.asarray(ys_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_scan():
+    xs, lengths, spec_scan, spec_pl, params = _data(seed=2)
+
+    def loss(params, xs, spec):
+        ys, _ = rnn_scan(params, spec, xs, lengths)
+        # position-weighted sum so every timestep gets a distinct cotangent
+        w = jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) / ys.size
+        return jnp.sum(ys * w)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, xs, spec_scan)
+    g_pl = jax.grad(loss, argnums=(0, 1))(params, xs, spec_pl)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+
+
+def test_bidirectional_matches_scan():
+    b, t, d, h = 3, 6, 4, 8
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    lengths = jnp.asarray([t, 4, 2])
+    spec_scan = RNNSpec(cell="lstm", num_units=h, impl="scan")
+    spec_pl = RNNSpec(cell="lstm", num_units=h, impl="pallas")
+    params = init_bidirectional(jax.random.PRNGKey(4), spec_scan, d)
+    y_ref = bidirectional_scan(params, spec_scan, xs, lengths)
+    y_pl = bidirectional_scan(params, spec_pl, xs, lengths)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_auto_falls_back_when_ineligible():
+    # peephole / projection / clip variants must use the scan path
+    assert not RNNSpec(cell="lstm", num_units=8, use_peephole=True).pallas_eligible
+    assert not RNNSpec(cell="lstm", num_units=8, num_proj=4).pallas_eligible
+    assert not RNNSpec(cell="lstm", num_units=8, clip_activation=5.0).pallas_eligible
+    assert not RNNSpec(cell="gru", num_units=8).pallas_eligible
+    assert RNNSpec(cell="lstm", num_units=8).pallas_eligible

@@ -32,12 +32,12 @@ def _base(**kw):
     )
 
 
-def _loss_curve(model_dir):
+def _loss_curve(model_dir, col="train_loss"):
     import csv
 
     with open(model_dir / "metrics.csv") as f:
         rows = list(csv.DictReader(f))
-    return [float(r["train_loss"]) for r in rows]
+    return [float(r[col]) for r in rows]
 
 
 def test_attention_fit_learns(tmp_path):
@@ -48,6 +48,11 @@ def test_attention_fit_learns(tmp_path):
     # too few steps for alignment to emerge; loss must still be dropping
     assert curve[-1] < 0.8 * curve[0], curve
     assert (tmp_path / "att" / "config.yml").exists()
+    # dev loss is a real teacher-forced NLL (round-1 bug: reported zeros)
+    dev_curve = _loss_curve(tmp_path / "att", "dev_loss")
+    assert all(np.isfinite(v) and v > 0 for v in dev_curve), dev_curve
+    assert dev_curve[-1] < 0.8 * dev_curve[0], dev_curve
+    assert np.isfinite(s["dev_loss"]) and s["dev_loss"] > 0
 
 
 def test_joint_fit_learns(tmp_path):
