@@ -1,4 +1,9 @@
 """Decode RTF with LM shallow fusion at W=20: carried vs legacy vs no-LM."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from tensorflow_end2end_speech_recognition_tpu.utils.jax_setup import setup
 setup()
 import time
