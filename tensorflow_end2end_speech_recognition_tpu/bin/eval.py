@@ -30,8 +30,17 @@ def main(argv=None):
     ap.add_argument("--epoch", type=int, default=None, help="checkpoint epoch (default: best)")
     ap.add_argument("--beam-width", type=int, default=None,
                     help="override config beam_width (1 = greedy)")
+    ap.add_argument("--lm-dir", default=None,
+                    help="RNN-LM dir from bin.train_lm: shallow fusion in the beam")
+    ap.add_argument("--lm-weight", type=float, default=0.3)
     args = ap.parse_args(argv)
     _jax_setup()
+
+    lm = None
+    if args.lm_dir:
+        from .train_lm import load_lm
+
+        lm = load_lm(args.lm_dir)
 
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
@@ -49,10 +58,16 @@ def main(argv=None):
                 task, beam_width, exp.length_penalty,
                 joint_rescore_weight=exp.ctc_loss_weight
                 if exp.model_type == "joint_ctc_attention" else None,
+                lm=lm, lm_weight=args.lm_weight,
             )
         else:
-            eval_step = task_mod.make_beam_eval_step(task, beam_width)
-        print(f"decoding with beam width {beam_width}")
+            eval_step = task_mod.make_beam_eval_step(
+                task, beam_width, lm=lm, lm_weight=args.lm_weight
+            )
+        print(f"decoding with beam width {beam_width}"
+              + (f" + LM fusion w={args.lm_weight}" if lm else ""))
+    elif lm is not None:
+        print("warning: --lm-dir requires beam decoding; ignored for greedy")
     else:
         eval_step = task_mod.make_eval_step(task)
     # per-set reporting like the reference's eval loops (SURVEY.md §3.3):

@@ -23,8 +23,18 @@ from pathlib import Path
 
 import numpy as np
 
-from .tokenizers import CharTokenizer, Tokenizer
+from .tokenizers import Tokenizer
 from .toy_corpus import Utterance
+
+
+def read_transcripts(data_root: str | Path, split: str) -> list[str]:
+    """Transcript texts of one split (e.g. to learn a BPE vocabulary)."""
+    tsv = Path(data_root) / split / "transcripts.tsv"
+    texts = []
+    for line in tsv.read_text().splitlines():
+        if line.strip():
+            texts.append(line.split("\t")[-1])
+    return texts
 
 
 def available_splits(data_root: str | Path) -> list[str]:
@@ -71,9 +81,9 @@ def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> l
         feats = np.load(feat_path).astype(np.float32)
         if feats.ndim != 2:
             raise ValueError(f"{feat_path}: expected [T, D] features, got {feats.shape}")
-        if isinstance(tokenizer, CharTokenizer):
+        if hasattr(tokenizer, "encode_text"):  # char / word / BPE tokenizers
             ids = tokenizer.encode_text(text)
-        else:
+        else:  # phone / raw-unit inventories: space-separated tokens
             ids = tokenizer.encode(text.split())
         utts.append(Utterance(utt_id, feats, ids, text, speaker=speaker))
     if not utts:

@@ -44,9 +44,9 @@ class ToyCorpus:
     ):
         self.label_type = label_type
         self.sample_rate = sample_rate
-        if label_type.startswith("word"):
-            # word units need a corpus-derived vocabulary; the toy corpus
-            # supplies a fixed word list (every word maps to a formant chord)
+        if label_type.startswith(("word", "bpe")):
+            # word/subword units need a corpus-derived vocabulary; the toy
+            # corpus supplies a fixed word list (each maps to a formant chord)
             words = [f"w{i:02d}" for i in range(40)]
             self.tokenizer = build_tokenizer(label_type, corpus_texts=[" ".join(words)])
         else:

@@ -1,0 +1,173 @@
+"""Conformer encoder blocks (Gulati et al. 2020) — TPU-first extension.
+
+Beyond the reference's encoder zoo (SURVEY.md §2.5 stops at BLSTM/VGG/CNN),
+but the natural modern encoder for this framework: every op here is
+parallel over the time axis — two macaron feed-forwards, multi-head
+self-attention, and a depthwise-conv module are all large batched matmuls /
+convs that fill the MXU, with none of the serial per-step chain that
+latency-bounds the recurrent encoders. Selected via
+``encoder_type: conformer`` and usable by every model family (CTC,
+attention, joint) through the same ``EncoderOutput`` contract.
+
+Simplifications vs the paper, documented: absolute sinusoidal positions
+(not relative — fine at these sequence lengths), LayerNorm in the conv
+module instead of BatchNorm (no cross-batch state to manage under jit;
+a standard substitution).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rnn import dropout
+
+
+class ConformerSpec(NamedTuple):
+    dim: int = 256
+    num_layers: int = 8
+    num_heads: int = 4
+    conv_kernel_size: int = 15
+    ff_expansion: int = 4
+
+
+def _xavier(key, fin, fout):
+    s = jnp.sqrt(6.0 / (fin + fout))
+    return jax.random.uniform(key, (fin, fout), jnp.float32, -s, s)
+
+
+def _dense_init(key, fin, fout):
+    return {"w": _xavier(key, fin, fout), "b": jnp.zeros((fout,), jnp.float32)}
+
+
+def _dense(p, x):
+    return jnp.matmul(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+
+def _ln_init(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _ln(p, x, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def _ff_init(key, spec: ConformerSpec):
+    k1, k2 = jax.random.split(key)
+    e = spec.dim * spec.ff_expansion
+    return {"ln": _ln_init(spec.dim), "in": _dense_init(k1, spec.dim, e),
+            "out": _dense_init(k2, e, spec.dim)}
+
+
+def _ff(p, x):
+    y = _ln(p["ln"], x)
+    y = jax.nn.swish(_dense(p["in"], y))
+    return _dense(p["out"], y)
+
+
+def _mhsa_init(key, spec: ConformerSpec):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    d = spec.dim
+    return {
+        "ln": _ln_init(d),
+        "q": _dense_init(kq, d, d), "k": _dense_init(kk, d, d),
+        "v": _dense_init(kv, d, d), "o": _dense_init(ko, d, d),
+    }
+
+
+def _mhsa(p, x, mask, spec: ConformerSpec):
+    b, t, d = x.shape
+    h = spec.num_heads
+    dh = d // h
+    y = _ln(p["ln"], x)
+    split = lambda z: z.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # [B,h,T,dh]
+    q, k, v = split(_dense(p["q"], y)), split(_dense(p["k"], y)), split(_dense(p["v"], y))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(dh))
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)  # mask keys
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return _dense(p["o"], out)
+
+
+def _conv_init(key, spec: ConformerSpec):
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = spec.dim
+    s = jnp.sqrt(6.0 / (spec.conv_kernel_size + d))
+    return {
+        "ln": _ln_init(d),
+        "pw1": _dense_init(k1, d, 2 * d),  # GLU halves back to d
+        "dw": jax.random.uniform(
+            k2, (spec.conv_kernel_size, 1, d), jnp.float32, -s, s
+        ),
+        "norm": _ln_init(d),
+        "pw2": _dense_init(k3, d, d),
+    }
+
+
+def _conv_module(p, x, mask, spec: ConformerSpec):
+    y = _ln(p["ln"], x)
+    y = _dense(p["pw1"], y)  # [B, T, 2d]
+    a, g = jnp.split(y, 2, axis=-1)
+    y = a * jax.nn.sigmoid(g)  # GLU
+    y = y * mask[..., None]  # pad frames must not leak through the conv
+    y = jax.lax.conv_general_dilated(
+        y, p["dw"], window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=spec.dim,
+        preferred_element_type=jnp.float32,
+    )
+    y = jax.nn.swish(_ln(p["norm"], y))
+    return _dense(p["pw2"], y)
+
+
+def init_conformer(key, spec: ConformerSpec, input_dim: int):
+    keys = jax.random.split(key, spec.num_layers + 1)
+    layers = []
+    for i in range(spec.num_layers):
+        k1, k2, k3, k4 = jax.random.split(keys[i], 4)
+        layers.append({
+            "ff1": _ff_init(k1, spec),
+            "mhsa": _mhsa_init(k2, spec),
+            "conv": _conv_init(k3, spec),
+            "ff2": _ff_init(k4, spec),
+            "ln": _ln_init(spec.dim),
+        })
+    return {"proj": _dense_init(keys[-1], input_dim, spec.dim), "layers": layers}
+
+
+def _posenc(t, d):
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    i = jnp.arange(d // 2, dtype=jnp.float32)[None, :]
+    ang = pos / jnp.power(10000.0, 2.0 * i / d)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [T, d]
+
+
+def apply_conformer(
+    params, spec: ConformerSpec, xs, lengths, train=False, rng=None,
+    keep_prob: float = 1.0,
+):
+    """[B, T, D] -> [B, T, dim]; pad frames zeroed, lengths unchanged."""
+    b, t, _ = xs.shape
+    mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T]
+    x = _dense(params["proj"], xs) + _posenc(t, spec.dim)[None]
+    n = len(params["layers"])
+    drop_keys = jax.random.split(rng, 4 * n) if (train and rng is not None) else None
+
+    def drop(z, i):
+        if drop_keys is None:
+            return z
+        return dropout(drop_keys[i], z, keep_prob, train)
+
+    for li, p in enumerate(params["layers"]):
+        x = x + 0.5 * drop(_ff(p["ff1"], x), 4 * li)
+        x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
+        x = x + drop(_conv_module(p["conv"], x, mask, spec), 4 * li + 2)
+        x = x + 0.5 * drop(_ff(p["ff2"], x), 4 * li + 3)
+        x = _ln(p["ln"], x)
+    return x * mask[..., None]

@@ -49,6 +49,10 @@ class EncoderConfig(NamedTuple):
     # cnn_zhang fully-connected head widths
     fc_units: tuple = (1024,)
     compute_dtype: str = "float32"  # "bfloat16" for MXU-rate gate matmuls
+    # conformer (TPU-first extension; everything parallel over T)
+    num_heads: int = 4
+    conv_kernel_size: int = 15
+    ff_expansion: int = 4
 
     @property
     def bidirectional(self) -> bool:
@@ -76,8 +80,19 @@ class EncoderConfig(NamedTuple):
     def output_dim(self) -> int:
         if self.encoder_type == "cnn_zhang":
             return self.fc_units[-1]
+        if self.encoder_type == "conformer":
+            return self.num_units
         d = self.num_proj or self.num_units
         return d * (2 if self.bidirectional else 1)
+
+    def conformer_spec(self):
+        from .conformer import ConformerSpec
+
+        return ConformerSpec(
+            dim=self.num_units, num_layers=self.num_layers,
+            num_heads=self.num_heads, conv_kernel_size=self.conv_kernel_size,
+            ff_expansion=self.ff_expansion,
+        )
 
     def spec(self) -> RNNSpec:
         return RNNSpec(
@@ -100,6 +115,7 @@ class EncoderOutput(NamedTuple):
 ENCODER_TYPES = (
     "lstm", "blstm", "gru", "bgru", "pyramidal_blstm", "pblstm",
     "vgg_blstm", "vgg_lstm", "cnn_zhang", "multitask_blstm", "multitask_lstm",
+    "conformer",
 )
 
 
@@ -179,6 +195,11 @@ def init_encoder(key, cfg: EncoderConfig, input_dim: int):
     keys = jax.random.split(key, cfg.num_layers + 2)
     dim = input_dim
 
+    if cfg.encoder_type == "conformer":
+        from .conformer import init_conformer
+
+        return {"conformer": init_conformer(keys[0], cfg.conformer_spec(), input_dim)}
+
     if cfg.has_vgg:
         params["vgg"] = _init_vgg(keys[-1], cfg.input_channels, cfg.parameter_init)
         freq = input_dim // cfg.input_channels
@@ -253,6 +274,15 @@ def apply_encoder(
     drop_keys = (
         jax.random.split(rng, cfg.num_layers) if (train and rng is not None) else None
     )
+
+    if cfg.encoder_type == "conformer":
+        from .conformer import apply_conformer
+
+        out = apply_conformer(
+            params["conformer"], cfg.conformer_spec(), xs, lengths,
+            train=train, rng=rng, keep_prob=cfg.dropout_keep_prob,
+        )
+        return EncoderOutput(out, lengths)
 
     if cfg.encoder_type == "cnn_zhang":
         x = _split_freq_channels(xs, cfg.input_channels)

@@ -157,13 +157,16 @@ def make_eval_step(task: AttTaskConfig):
 
 
 def make_beam_eval_step(task: AttTaskConfig, beam_width: int, length_penalty: float = 0.0,
-                        joint_rescore_weight: float | None = None):
+                        joint_rescore_weight: float | None = None,
+                        lm=None, lm_weight: float = 0.0):
     """Eval step decoding with the batched attention beam (+ optional joint
-    CTC-attention rescoring for joint models)."""
+    CTC-attention rescoring for joint models; ``lm=(params, LMConfig)``
+    enables shallow fusion)."""
     from ..decoding.attention_beam import attention_beam_search
     from ..decoding.joint_rescoring import joint_rescore as _rescore
 
     cfg = task.model
+    lm_params, lm_cfg = lm if lm is not None else (None, None)
 
     @jax.jit
     def eval_step(params, batch):
@@ -171,6 +174,8 @@ def make_beam_eval_step(task: AttTaskConfig, beam_width: int, length_penalty: fl
         result = attention_beam_search(
             params, cfg, feats, feat_len,
             beam_width=beam_width, length_penalty=length_penalty,
+            lm_params=lm_params, lm_cfg=lm_cfg,
+            lm_weight=lm_weight if lm_params is not None else 0.0,
         )
         if joint_rescore_weight is not None and cfg.is_joint:
             result = _rescore(result, joint_rescore_weight, cfg.num_classes, length_penalty)

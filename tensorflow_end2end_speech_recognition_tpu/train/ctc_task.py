@@ -144,10 +144,24 @@ def make_eval_step(task: CTCTaskConfig):
     return eval_step
 
 
-def make_beam_eval_step(task: CTCTaskConfig, beam_width: int, top_k_classes: int = 16):
+def make_beam_eval_step(task: CTCTaskConfig, beam_width: int, top_k_classes: int = 16,
+                        lm=None, lm_weight: float = 0.0):
     """Eval step decoding with the on-device CTC prefix beam (reference
-    eval used tf.nn.ctc_beam_search_decoder at config beam_width)."""
+    eval used tf.nn.ctc_beam_search_decoder at config beam_width).
+
+    ``lm``: (lm_params, LMConfig) enables carried-state shallow fusion.
+    """
     from ..decoding.ctc_prefix_beam import ctc_prefix_beam_search
+
+    fusion_lm = None
+    if lm is not None and lm_weight:
+        from ..models.lm import make_fusion_lm
+
+        lm_params, lm_cfg = lm
+        fusion_lm = make_fusion_lm(
+            lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+            num_ctc_classes=task.model.vocab_with_blank,
+        )
 
     @jax.jit
     def eval_step(params, batch):
@@ -160,6 +174,7 @@ def make_beam_eval_step(task: CTCTaskConfig, beam_width: int, top_k_classes: int
         prefixes, lengths, _ = ctc_prefix_beam_search(
             out.logits, out.logit_len, task.model.blank_id,
             beam_width=beam_width, top_k_classes=top_k_classes,
+            fusion_lm=fusion_lm, lm_weight=lm_weight if fusion_lm else 0.0,
         )
         return prefixes[:, 0], lengths[:, 0], nll
 

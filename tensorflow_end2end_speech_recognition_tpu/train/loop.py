@@ -58,8 +58,20 @@ def build_corpus_splits(exp: ExperimentConfig):
         from ..data.npy_corpus import available_splits, load_npy_split, pick_split
         from ..data.tokenizers import build_tokenizer
 
-        tokenizer = build_tokenizer(exp.label_type)
         names = available_splits(exp.data_root)
+        tok_kwargs = {}
+        if exp.label_type.startswith(("bpe", "word")):
+            # corpus-derived vocabularies learn from the TRAIN transcripts
+            from ..data.npy_corpus import read_transcripts
+
+            train_split = (
+                exp.train_data_size
+                if exp.train_data_size and exp.train_data_size in names
+                else pick_split(names, "train")
+            )
+            if train_split:
+                tok_kwargs["corpus_texts"] = read_transcripts(exp.data_root, train_split)
+        tokenizer = build_tokenizer(exp.label_type, **tok_kwargs)
         # train split: explicit train_data_size (LibriSpeech train100h/460h/
         # 960h) wins, else "train"
         train_name = (
@@ -280,10 +292,12 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             jbatch = _to_device_batch(batch, multitask)
             if profile_steps and step == profile_steps[0]:
                 jax.profiler.start_trace(str(model_dir / "trace"))
+            # linear warmup (host-side scalar: no recompile, like LR decay)
+            eff_lr = lr * min(1.0, (step + 1) / exp.warmup_steps) if exp.warmup_steps else lr
             if is_att:
-                params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub, step)
+                params, opt_state, aux = train_step(params, opt_state, jbatch, eff_lr, sub, step)
             else:
-                params, opt_state, aux = train_step(params, opt_state, jbatch, lr, sub)
+                params, opt_state, aux = train_step(params, opt_state, jbatch, eff_lr, sub)
             step += 1
             if profile_steps and step == profile_steps[1]:
                 float(aux["loss"])  # sync before stopping the trace

@@ -46,6 +46,10 @@ class ExperimentConfig:
     num_layers_sub: int = 1
     num_pyramid_levels: int | None = None  # pyramidal 2x reductions cap
     lstm_impl: str | None = None  # accepted for parity; single scan impl here
+    # conformer encoder (TPU-first extension)
+    num_heads: int = 4
+    conv_kernel_size: int = 15
+    ff_expansion: int = 4
     use_peephole: bool = False
     clip_activation: float | None = None
     parameter_init: float = 0.1
@@ -84,6 +88,7 @@ class ExperimentConfig:
     decay_start_epoch: int = 5
     decay_rate: float = 0.9
     decay_patient_epoch: int = 1
+    warmup_steps: int = 0  # linear LR warmup (transformer-style encoders)
     clip_grad_norm: float = 5.0
     weight_decay: float = 0.0
     sort_utt: bool = True
@@ -166,6 +171,9 @@ class ExperimentConfig:
             num_layers_sub=self.num_layers_sub,
             num_pyramid_levels=self.num_pyramid_levels,
             input_channels=3 if self.use_delta else 1,
+            num_heads=self.num_heads,
+            conv_kernel_size=self.conv_kernel_size,
+            ff_expansion=self.ff_expansion,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:

@@ -32,6 +32,11 @@ def score_pair(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
     if label_type.startswith("word"):
         err = compute_wer(" ".join(ref), " ".join(hyp), normalize=False)
         return err, max(len(ref), 1)
+    if label_type.startswith("bpe"):
+        detok = lambda seq: "".join(seq).replace("▁", " ").strip()
+        ref_s, hyp_s = detok(ref), detok(hyp)
+        err = compute_wer(ref_s, hyp_s, normalize=False)
+        return err, max(len(ref_s.split()), 1)
     # character-level: CER over the joined string
     ref_s, hyp_s = "".join(ref), "".join(hyp)
     from .edit_distance import compute_cer
@@ -82,6 +87,10 @@ def _scoring_tokens(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
     if label_type.startswith("phone") and isinstance(tokenizer, PhoneTokenizer):
         ref = tokenizer.fold_for_scoring(ref)
         hyp = tokenizer.fold_for_scoring(hyp)
+    elif label_type.startswith("bpe"):
+        # subword units score as WER over the detokenized words
+        detok = lambda seq: "".join(seq).replace("▁", " ").split()
+        ref, hyp = detok(ref), detok(hyp)
     elif not label_type.startswith("word"):
         # character scoring: units are the characters of the joined string
         ref = list("".join(ref))

@@ -43,8 +43,9 @@ def test_cli_train_eval_decode_plot(tmp_path, capsys):
     assert "ctc_probs_utt0.png" in out
 
 
-def test_cli_train_lm(tmp_path, capsys):
-    from tensorflow_end2end_speech_recognition_tpu.bin import train_lm
+def test_cli_train_lm_and_lm_fused_eval(tmp_path, capsys):
+    from tensorflow_end2end_speech_recognition_tpu.bin import eval as eval_bin
+    from tensorflow_end2end_speech_recognition_tpu.bin import train, train_lm
 
     cfg = tmp_path / "cfg.yml"
     _write_cfg(cfg)
@@ -54,3 +55,13 @@ def test_cli_train_lm(tmp_path, capsys):
     assert "FINAL dev_ppl" in out
     params, lm_cfg = train_lm.load_lm(tmp_path / "lm")
     assert lm_cfg.vocab == 63  # 61 phones + sos + eos
+
+    # eval with carried-state LM fusion in the CTC prefix beam
+    mdir = tmp_path / "model"
+    train.main([str(cfg), str(mdir)])
+    capsys.readouterr()
+    eval_bin.main([str(mdir), "--beam-width", "3",
+                   "--lm-dir", str(tmp_path / "lm"), "--lm-weight", "0.2"])
+    out = capsys.readouterr().out
+    assert "LM fusion w=0.2" in out
+    assert "dev (epoch" in out and "test (epoch" in out

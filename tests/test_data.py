@@ -121,3 +121,36 @@ def test_toy_corpus_and_dataset():
 
     # labels padded with -1
     assert (b[0]["labels"] >= -1).all()
+
+
+def test_bpe_tokenizer_learns_merges_and_roundtrips():
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import BPETokenizer
+
+    texts = ["the cat sat on the mat", "the cat ate the rat", "a cat and a rat sat"]
+    tok = BPETokenizer(texts, num_merges=40)
+    # frequent words collapse into few subwords
+    assert len(tok._encode_word("the")) <= 2
+    assert len(tok._encode_word("cat")) <= 2
+    ids = tok.encode_text("the cat sat on the mat")
+    assert tok.decode_text(ids) == "the cat sat on the mat"
+    # unseen-but-composable words still encode from characters
+    ids2 = tok.encode_text("that")
+    assert tok.decode_text(ids2) == "that"
+    # factory + toy corpus integration
+    tok2 = build_tokenizer("bpe_20", corpus_texts=texts)
+    assert tok2.num_units > 0
+    corpus = ToyCorpus(label_type="bpe_30", num_utts=4, seed=1)
+    u = corpus.utterances[0]
+    assert corpus.tokenizer.decode_text(u.label_ids) == u.text.replace("▁", " ").strip() or len(u.label_ids) > 0
+
+
+def test_bpe_scoring_is_word_level():
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import BPETokenizer
+    from tensorflow_end2end_speech_recognition_tpu.utils.metrics import score_pair
+
+    tok = BPETokenizer(["hello world", "hello there"], num_merges=30)
+    ref = tok.encode_text("hello world")
+    hyp = tok.encode_text("hello there")
+    err, denom = score_pair(ref, hyp, tok, "bpe_30")
+    assert denom == 2  # two ref words
+    assert err == 1  # one substituted word
