@@ -31,8 +31,9 @@ def measure_rtf(exp, task, task_mod, params, utts, tokenizer):
     import jax.numpy as jnp
 
     from tensorflow_end2end_speech_recognition_tpu.data import Dataset
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import cmvn_stats_for
 
-    ds = Dataset(utts, min(32, len(utts)))
+    ds = Dataset(utts, min(32, len(utts)), cmvn_stats=cmvn_stats_for(exp, task, utts))
     batch = next(ds.batches(0))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
     beam = max(exp.beam_width, 1)
@@ -64,6 +65,7 @@ def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
     from tensorflow_end2end_speech_recognition_tpu.train.loop import (
         build_corpus_splits,
         build_task,
+        cmvn_stats_for,
         feature_dim_of,
         fit,
     )
@@ -96,7 +98,8 @@ def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
         eval_step = task_mod.make_eval_step(task)
     errs = {}
     for name, u in (("dev", dev_utts), ("test", test_utts)):
-        ds = Dataset(u, exp.eval_batch_size or exp.batch_size)
+        ds = Dataset(u, exp.eval_batch_size or exp.batch_size,
+                     cmvn_stats=cmvn_stats_for(exp, task, u))
         errs[name] = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)[
             "error_rate"
         ]

@@ -25,7 +25,7 @@ from ..decoding import attention_beam_search, ctc_greedy_decode, ctc_prefix_beam
 from ..models.ctc import apply_ctc
 from ..train.checkpoint import CheckpointManager
 from ..train.ctc_task import device_pipeline
-from ..train.loop import build_corpus_splits, build_task, feature_dim_of
+from ..train.loop import build_corpus_splits, build_task, cmvn_stats_for, feature_dim_of
 from ..utils.config import ExperimentConfig
 
 
@@ -51,7 +51,7 @@ def main(argv=None):
 
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
-    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
+    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp, need=("dev", "test"))
     utts = dev_utts if args.data == "dev" else test_utts
     task, task_mod = build_task(exp, tokenizer, feature_dim_of(utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
@@ -61,7 +61,10 @@ def main(argv=None):
     params = state["params"]
     is_att = exp.model_type in ("attention", "joint_ctc_attention")
 
-    ds = Dataset(utts[: args.num_utts], min(args.num_utts, len(utts)))
+    ds = Dataset(
+        utts[: args.num_utts], min(args.num_utts, len(utts)),
+        cmvn_stats=cmvn_stats_for(exp, task, utts[: args.num_utts]),
+    )
     batch = next(ds.batches(0))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
 

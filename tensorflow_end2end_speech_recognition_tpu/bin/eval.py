@@ -19,7 +19,7 @@ import jax
 
 from ..data import Dataset
 from ..train.checkpoint import CheckpointManager
-from ..train.loop import build_corpus_splits, build_task, feature_dim_of
+from ..train.loop import build_corpus_splits, build_task, cmvn_stats_for, feature_dim_of
 from ..utils.config import ExperimentConfig
 from ..utils.metrics import evaluate_ctc
 
@@ -44,7 +44,8 @@ def main(argv=None):
 
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
-    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)
+    # eval never needs train FEATURES (tokenizer learning reads transcripts)
+    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp, need=("dev", "test"))
     task, task_mod = build_task(exp, tokenizer, feature_dim_of(dev_utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
@@ -66,9 +67,9 @@ def main(argv=None):
             )
         print(f"decoding with beam width {beam_width}"
               + (f" + LM fusion w={args.lm_weight}" if lm else ""))
-    elif lm is not None:
-        print("warning: --lm-dir requires beam decoding; ignored for greedy")
     else:
+        if lm is not None:
+            print("warning: --lm-dir requires beam decoding; ignored for greedy")
         eval_step = task_mod.make_eval_step(task)
     # per-set reporting like the reference's eval loops (SURVEY.md §3.3):
     # on-disk corpora are scored over EVERY non-train split found (e.g.
@@ -84,14 +85,10 @@ def main(argv=None):
     else:
         sets = [("dev", dev_utts), ("test", test_utts)]
     for name, utts in sets:
-        cmvn_stats = None
-        if exp.cmvn == "speaker":
-            from ..frontend.speaker_cmvn import compute_speaker_stats
-
-            cmvn_stats = compute_speaker_stats(
-                utts, task.frontend, exp.eval_batch_size or exp.batch_size
-            )
-        ds = Dataset(utts, exp.eval_batch_size or exp.batch_size, cmvn_stats=cmvn_stats)
+        ds = Dataset(
+            utts, exp.eval_batch_size or exp.batch_size,
+            cmvn_stats=cmvn_stats_for(exp, task, utts),
+        )
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
         print(
             f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} "

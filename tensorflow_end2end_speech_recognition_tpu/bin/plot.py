@@ -25,7 +25,7 @@ from ..models.seq2seq import greedy_decode
 from ..ops.ctc import ctc_posteriors
 from ..train.checkpoint import CheckpointManager
 from ..train.ctc_task import device_pipeline
-from ..train.loop import build_corpus_splits, build_task, feature_dim_of
+from ..train.loop import build_corpus_splits, build_task, cmvn_stats_for, feature_dim_of
 from ..utils.config import ExperimentConfig
 from ..utils.plot import plot_attention_weights, plot_ctc_posteriors, plot_training_curves
 
@@ -42,14 +42,15 @@ def main(argv=None):
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
     made = [str(p) for p in plot_training_curves(model_dir)]
 
-    _, dev_utts, _, tokenizer = build_corpus_splits(exp)
+    _, dev_utts, _, tokenizer = build_corpus_splits(exp, need=("dev",))
     task, task_mod = build_task(exp, tokenizer, feature_dim_of(dev_utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
         {"params": params}, args.epoch
     )
     params = state["params"]
-    ds = Dataset(dev_utts, min(8, len(dev_utts)))
+    ds = Dataset(dev_utts, min(8, len(dev_utts)),
+                 cmvn_stats=cmvn_stats_for(exp, task, dev_utts))
     batch = next(ds.batches(0))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
     i = args.utt_index

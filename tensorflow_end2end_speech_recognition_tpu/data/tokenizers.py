@@ -235,7 +235,11 @@ class BPETokenizer(Tokenizer):
                 vocab[w] = out
         units = sorted(set(base_units) | {a + b for a, b in merges})
         self.merges = merges
-        super().__init__(units)
+        self.unk = "<unk>"
+        # symbols outside the learned inventory (unseen characters) map to
+        # <unk> rather than being silently dropped — dropping would mutilate
+        # reference label sequences and corrupt WER
+        super().__init__(units + [self.unk])
 
     def _encode_word(self, word: str) -> list[str]:
         sym = list(self.WB + word)
@@ -252,11 +256,10 @@ class BPETokenizer(Tokenizer):
         return sym
 
     def encode_text(self, text: str) -> list[int]:
+        unk = self.unit_to_idx[self.unk]
         ids = []
         for w in text.lower().split():
-            ids.extend(
-                self.unit_to_idx[t] for t in self._encode_word(w) if t in self.unit_to_idx
-            )
+            ids.extend(self.unit_to_idx.get(t, unk) for t in self._encode_word(w))
         return ids
 
     def decode_text(self, ids) -> str:

@@ -31,6 +31,8 @@ class ConformerSpec(NamedTuple):
     num_heads: int = 4
     conv_kernel_size: int = 15
     ff_expansion: int = 4
+    compute_dtype: str = "float32"  # "bfloat16": big matmuls at 2x MXU rate,
+    # f32 accumulation/residuals (unlike the LSTM, these are not latency-bound)
 
 
 def _xavier(key, fin, fout):
@@ -42,8 +44,15 @@ def _dense_init(key, fin, fout):
     return {"w": _xavier(key, fin, fout), "b": jnp.zeros((fout,), jnp.float32)}
 
 
-def _dense(p, x):
-    return jnp.matmul(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+def _dtype_of(spec: "ConformerSpec"):
+    return jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _dense(p, x, dt=jnp.float32):
+    return (
+        jnp.matmul(x.astype(dt), p["w"].astype(dt), preferred_element_type=jnp.float32)
+        + p["b"]
+    )
 
 
 def _ln_init(d):
@@ -63,10 +72,10 @@ def _ff_init(key, spec: ConformerSpec):
             "out": _dense_init(k2, e, spec.dim)}
 
 
-def _ff(p, x):
+def _ff(p, x, dt):
     y = _ln(p["ln"], x)
-    y = jax.nn.swish(_dense(p["in"], y))
-    return _dense(p["out"], y)
+    y = jax.nn.swish(_dense(p["in"], y, dt))
+    return _dense(p["out"], y, dt)
 
 
 def _mhsa_init(key, spec: ConformerSpec):
@@ -83,16 +92,25 @@ def _mhsa(p, x, mask, spec: ConformerSpec):
     b, t, d = x.shape
     h = spec.num_heads
     dh = d // h
+    dt = _dtype_of(spec)
     y = _ln(p["ln"], x)
     split = lambda z: z.reshape(b, t, h, dh).transpose(0, 2, 1, 3)  # [B,h,T,dh]
-    q, k, v = split(_dense(p["q"], y)), split(_dense(p["k"], y)), split(_dense(p["v"], y))
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    q = split(_dense(p["q"], y, dt))
+    k = split(_dense(p["k"], y, dt))
+    v = split(_dense(p["v"], y, dt))
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(dt), k.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
     scores = scores / jnp.sqrt(jnp.float32(dh))
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)  # mask keys
     att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", att, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", att.astype(dt), v.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
     out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-    return _dense(p["o"], out)
+    return _dense(p["o"], out, dt)
 
 
 def _conv_init(key, spec: ConformerSpec):
@@ -111,8 +129,9 @@ def _conv_init(key, spec: ConformerSpec):
 
 
 def _conv_module(p, x, mask, spec: ConformerSpec):
+    dt = _dtype_of(spec)
     y = _ln(p["ln"], x)
-    y = _dense(p["pw1"], y)  # [B, T, 2d]
+    y = _dense(p["pw1"], y, dt)  # [B, T, 2d]
     a, g = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(g)  # GLU
     y = y * mask[..., None]  # pad frames must not leak through the conv
@@ -123,7 +142,7 @@ def _conv_module(p, x, mask, spec: ConformerSpec):
         preferred_element_type=jnp.float32,
     )
     y = jax.nn.swish(_ln(p["norm"], y))
-    return _dense(p["pw2"], y)
+    return _dense(p["pw2"], y, dt)
 
 
 def init_conformer(key, spec: ConformerSpec, input_dim: int):
@@ -154,8 +173,9 @@ def apply_conformer(
 ):
     """[B, T, D] -> [B, T, dim]; pad frames zeroed, lengths unchanged."""
     b, t, _ = xs.shape
+    dt = _dtype_of(spec)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T]
-    x = _dense(params["proj"], xs) + _posenc(t, spec.dim)[None]
+    x = _dense(params["proj"], xs, dt) + _posenc(t, spec.dim)[None]
     n = len(params["layers"])
     drop_keys = jax.random.split(rng, 4 * n) if (train and rng is not None) else None
 
@@ -165,9 +185,9 @@ def apply_conformer(
         return dropout(drop_keys[i], z, keep_prob, train)
 
     for li, p in enumerate(params["layers"]):
-        x = x + 0.5 * drop(_ff(p["ff1"], x), 4 * li)
+        x = x + 0.5 * drop(_ff(p["ff1"], x, dt), 4 * li)
         x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
         x = x + drop(_conv_module(p["conv"], x, mask, spec), 4 * li + 2)
-        x = x + 0.5 * drop(_ff(p["ff2"], x), 4 * li + 3)
+        x = x + 0.5 * drop(_ff(p["ff2"], x, dt), 4 * li + 3)
         x = _ln(p["ln"], x)
     return x * mask[..., None]

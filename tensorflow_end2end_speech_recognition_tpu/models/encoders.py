@@ -91,7 +91,7 @@ class EncoderConfig(NamedTuple):
         return ConformerSpec(
             dim=self.num_units, num_layers=self.num_layers,
             num_heads=self.num_heads, conv_kernel_size=self.conv_kernel_size,
-            ff_expansion=self.ff_expansion,
+            ff_expansion=self.ff_expansion, compute_dtype=self.compute_dtype,
         )
 
     def spec(self) -> RNNSpec:

@@ -9,6 +9,8 @@ which the reference lacked (§5.3).
 State is stored as composite items so consumers restore only what they need:
 ``params`` (eval/decode) separately from ``extra`` (optimizer state, RNG,
 LR-controller state, counters — everything required for bit-exact resume).
+NOTE: this composite layout replaced round 1's single StandardSave item;
+checkpoints written before that change are not readable by this manager.
 """
 
 from __future__ import annotations

@@ -47,31 +47,25 @@ def _attach_sub_labels(utts, exp: ExperimentConfig):
     return sub_tok
 
 
-def build_corpus_splits(exp: ExperimentConfig):
+def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test")):
     """Returns (train_utts, dev_utts, test_utts, tokenizer).
 
     ``data_root`` set -> the reference's on-disk mode: per-utterance .npy
     features + transcripts.tsv per split (data/npy_corpus.py). Otherwise the
     synthetic toy corpus (no corpora ship with this environment).
+
+    ``need`` limits which splits have their FEATURES loaded (eval/decode
+    pass ``("dev", "test")`` so a real corpus's train features never touch
+    RAM there); splits not requested return ``[]``. Tokenizer learning only
+    reads train *transcripts*, which is cheap.
     """
     if exp.data_root is not None:
+        import warnings
+
         from ..data.npy_corpus import available_splits, load_npy_split, pick_split
         from ..data.tokenizers import build_tokenizer
 
         names = available_splits(exp.data_root)
-        tok_kwargs = {}
-        if exp.label_type.startswith(("bpe", "word")):
-            # corpus-derived vocabularies learn from the TRAIN transcripts
-            from ..data.npy_corpus import read_transcripts
-
-            train_split = (
-                exp.train_data_size
-                if exp.train_data_size and exp.train_data_size in names
-                else pick_split(names, "train")
-            )
-            if train_split:
-                tok_kwargs["corpus_texts"] = read_transcripts(exp.data_root, train_split)
-        tokenizer = build_tokenizer(exp.label_type, **tok_kwargs)
         # train split: explicit train_data_size (LibriSpeech train100h/460h/
         # 960h) wins, else "train"
         train_name = (
@@ -80,14 +74,30 @@ def build_corpus_splits(exp: ExperimentConfig):
             else pick_split(names, "train")
         )
         dev_name = pick_split(names, "dev")  # "dev" then dev_clean etc.
-        test_name = pick_split(names, "test", "eval") or dev_name
+        test_name = pick_split(names, "test", "eval")
+        if test_name is None:
+            warnings.warn(
+                f"data_root {exp.data_root} has no test/eval split; "
+                "reporting the dev split as 'test'"
+            )
+            test_name = dev_name
         if train_name is None or dev_name is None:
             raise FileNotFoundError(
                 f"data_root {exp.data_root} needs train+dev splits; found {names}"
             )
-        train = load_npy_split(exp.data_root, train_name, tokenizer)
-        dev = load_npy_split(exp.data_root, dev_name, tokenizer)
-        test = load_npy_split(exp.data_root, test_name, tokenizer)
+        tok_kwargs = {}
+        if exp.label_type.startswith(("bpe", "word")):
+            # corpus-derived vocabularies learn from the TRAIN transcripts
+            from ..data.npy_corpus import read_transcripts
+
+            tok_kwargs["corpus_texts"] = read_transcripts(exp.data_root, train_name)
+        tokenizer = build_tokenizer(exp.label_type, **tok_kwargs)
+        load = lambda want, name: (
+            load_npy_split(exp.data_root, name, tokenizer) if want in need else []
+        )
+        train = load("train", train_name)
+        dev = load("dev", dev_name)
+        test = load("test", test_name)
     else:
         corpus = ToyCorpus(
             label_type=exp.label_type,
@@ -109,6 +119,23 @@ def build_corpus_splits(exp: ExperimentConfig):
         sub_tok = _attach_sub_labels(train + dev + test, exp)
         tokenizer.sub_tokenizer = sub_tok  # stashed for task construction
     return train, dev, test, tokenizer
+
+
+def cmvn_stats_for(exp: ExperimentConfig, task, utts):
+    """Speaker-CMVN stats for these utterances (None unless cmvn: speaker).
+
+    Every consumer that builds a ``Dataset`` for a speaker-CMVN model MUST
+    pass this: with ``cmvn: speaker`` the frontend itself applies no
+    normalization (mask-only), so a batch without cmvn rows feeds the model
+    raw-scale features it was never trained on.
+    """
+    if exp.cmvn != "speaker":
+        return None
+    from ..frontend.speaker_cmvn import compute_speaker_stats
+
+    return compute_speaker_stats(
+        utts, task.frontend, exp.eval_batch_size or exp.batch_size
+    )
 
 
 def _specaug(exp: ExperimentConfig):
@@ -216,15 +243,9 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
 
     train_utts, dev_utts, _, tokenizer = build_corpus_splits(exp)
     task, task_mod = build_task(exp, tokenizer, feature_dim_of(train_utts))
-    cmvn_stats = None
-    if exp.cmvn == "speaker":
-        # one corpus sweep for per-speaker mean/var (SURVEY.md §2.9); batches
-        # then carry each utterance's speaker stats into the jitted pipeline
-        from ..frontend.speaker_cmvn import compute_speaker_stats
-
-        cmvn_stats = compute_speaker_stats(
-            train_utts + dev_utts, task.frontend, exp.eval_batch_size or exp.batch_size
-        )
+    # one corpus sweep for per-speaker mean/var (SURVEY.md §2.9); batches
+    # then carry each utterance's speaker stats into the jitted pipeline
+    cmvn_stats = cmvn_stats_for(exp, task, train_utts + dev_utts)
     train_ds = Dataset(
         train_utts, exp.batch_size, sort_utt=exp.sort_utt,
         sort_stop_epoch=exp.sort_stop_epoch, seed=exp.seed, cmvn_stats=cmvn_stats,
@@ -287,7 +308,9 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         t0 = time.perf_counter()
         losses = []
         n_utts = 0
-        for batch in train_ds.batches(epoch):
+        from ..data.prefetch import prefetch
+
+        for batch in prefetch(train_ds.batches(epoch)):
             rng, sub = jax.random.split(rng)
             jbatch = _to_device_batch(batch, multitask)
             if profile_steps and step == profile_steps[0]:

@@ -65,3 +65,61 @@ def test_cli_train_lm_and_lm_fused_eval(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "LM fusion w=0.2" in out
     assert "dev (epoch" in out and "test (epoch" in out
+
+
+def test_cli_eval_greedy_with_lm_warns_not_crashes(tmp_path, capsys):
+    """--lm-dir with greedy decoding must warn and proceed (round-2 advisor
+    finding: eval_step was unassigned on this path)."""
+    from tensorflow_end2end_speech_recognition_tpu.bin import eval as eval_bin
+    from tensorflow_end2end_speech_recognition_tpu.bin import train, train_lm
+
+    cfg = tmp_path / "cfg.yml"
+    _write_cfg(cfg)
+    train_lm.main([str(cfg), str(tmp_path / "lm"), "--epochs", "1",
+                   "--num-units", "8", "--embedding-dim", "4"])
+    train.main([str(cfg), str(tmp_path / "model")])
+    capsys.readouterr()
+    eval_bin.main([str(tmp_path / "model"), "--beam-width", "1",
+                   "--lm-dir", str(tmp_path / "lm")])
+    out = capsys.readouterr().out
+    assert "ignored for greedy" in out
+    assert "dev (epoch" in out
+
+
+def test_cli_decode_applies_speaker_cmvn(tmp_path, capsys):
+    """decode/eval on a cmvn:speaker model must feed speaker-normalized
+    features (round-2 advisor finding: decode fed raw features)."""
+    import yaml as _yaml
+
+    from tensorflow_end2end_speech_recognition_tpu.bin import decode, train
+
+    cfg = tmp_path / "cfg.yml"
+    raw = dict(
+        model_type="ctc", corpus="toy", label_type="phone61",
+        toy_num_utts=12, toy_vocab_size=5, use_delta=False, use_energy=False,
+        cmvn="speaker",
+        num_units=12, num_layers=1, batch_size=6, num_epoch=1,
+    )
+    cfg.write_text(_yaml.safe_dump(raw))
+    mdir = tmp_path / "model"
+    train.main([str(cfg), str(mdir)])
+    capsys.readouterr()
+
+    # the decode CLI must build its Dataset with speaker stats attached
+    from tensorflow_end2end_speech_recognition_tpu.data import dataset as ds_mod
+
+    seen = {}
+    orig = ds_mod.Dataset.__init__
+
+    def spy(self, *a, **kw):
+        seen["cmvn_stats"] = kw.get("cmvn_stats")
+        return orig(self, *a, **kw)
+
+    ds_mod.Dataset.__init__ = spy
+    try:
+        decode.main([str(mdir), "--num-utts", "2"])
+    finally:
+        ds_mod.Dataset.__init__ = orig
+    assert seen["cmvn_stats"] is not None
+    out = capsys.readouterr().out
+    assert "REF:" in out

@@ -154,3 +154,29 @@ def test_bpe_scoring_is_word_level():
     err, denom = score_pair(ref, hyp, tok, "bpe_30")
     assert denom == 2  # two ref words
     assert err == 1  # one substituted word
+
+
+def test_bpe_unknown_symbols_map_to_unk():
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import BPETokenizer
+
+    tok = BPETokenizer(["abc abd"], num_merges=10)
+    ids = tok.encode_text("abz")  # 'z' never seen in training text
+    assert len(ids) == len(tok._encode_word("abz"))  # nothing dropped
+    assert tok.unit_to_idx[tok.unk] in ids
+
+
+def test_prefetch_preserves_order_and_propagates_errors():
+    from tensorflow_end2end_speech_recognition_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="producer failed"):
+        list(it)

@@ -70,3 +70,81 @@ def test_dp_batch_actually_sharded():
     _, _, b8 = setup_data_parallel(mesh, params, opt.init(params), batch)
     shard_shapes = {s.data.shape for s in b8["inputs"].addressable_shards}
     assert shard_shapes == {(1, 4096)}  # 8 rows over 8 devices
+
+
+def test_dp_joint_attention_matches_single_device():
+    """DP correctness for the joint CTC-attention train step too (the
+    flagship ls960_joint config's step shape)."""
+    from tensorflow_end2end_speech_recognition_tpu.models.attention import AttentionConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.seq2seq import Seq2SeqConfig
+    from tensorflow_end2end_speech_recognition_tpu.train import att_task
+
+    task = att_task.AttTaskConfig(
+        model=Seq2SeqConfig(
+            encoder=EncoderConfig(encoder_type="pyramidal_blstm", num_units=8,
+                                  num_layers=2, num_pyramid_levels=1),
+            attention=AttentionConfig(attention_type="hybrid", attention_dim=8,
+                                      conv_num_channels=2, conv_width=5),
+            num_classes=6, decoder_num_units=8, embedding_dim=4,
+            max_decode_length=6, ctc_loss_weight=0.3,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    rng = np.random.RandomState(1)
+    b = 8
+    batch = {
+        "inputs": jnp.asarray(rng.randn(b, 4096).astype(np.float32) * 0.1),
+        "input_len": jnp.full((b,), 4096, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 6, (b, 4)).astype(np.int32)),
+        "label_len": jnp.full((b,), 4, jnp.int32),
+    }
+    params = att_task.init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("sgd", clip_grad_norm=None)
+    step = att_task.make_train_step(task, opt)
+
+    p1 = jax.tree.map(jnp.copy, params)
+    s1 = opt.init(p1)
+    p1, s1, aux1 = step(p1, s1, batch, 1e-2, jax.random.PRNGKey(1), 0)
+
+    mesh = make_mesh(8)
+    p8 = jax.tree.map(jnp.copy, params)
+    s8 = opt.init(p8)
+    p8, s8, b8 = setup_data_parallel(mesh, p8, s8, batch)
+    p8, s8, aux8 = step(p8, s8, b8, 1e-2, jax.random.PRNGKey(1), 0)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), rtol=1e-5)
+    for a, bb in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+    assert len(jax.tree.leaves(p8)[0].sharding.device_set) == 8
+
+
+def test_dp_conformer_matches_single_device():
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="conformer", num_units=16,
+                                  num_layers=1, num_heads=2, conv_kernel_size=5),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    rng = np.random.RandomState(2)
+    b = 8
+    batch = {
+        "inputs": jnp.asarray(rng.randn(b, 4096).astype(np.float32) * 0.1),
+        "input_len": jnp.full((b,), 4096, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 6, (b, 4)).astype(np.int32)),
+        "label_len": jnp.full((b,), 4, jnp.int32),
+    }
+    params = init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("sgd", clip_grad_norm=None)
+    step = make_train_step(task, opt)
+    p1, s1 = jax.tree.map(jnp.copy, params), opt.init(params)
+    p1, s1, aux1 = step(p1, s1, batch, 1e-2, jax.random.PRNGKey(1))
+    mesh = make_mesh(8)
+    p8 = jax.tree.map(jnp.copy, params)
+    s8 = opt.init(p8)
+    p8, s8, b8 = setup_data_parallel(mesh, p8, s8, batch)
+    p8, s8, aux8 = step(p8, s8, b8, 1e-2, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), rtol=1e-5)
+    for a, bb in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
