@@ -1,15 +1,21 @@
-"""Conformer encoder blocks (Gulati et al. 2020) — TPU-first extension.
+"""Conformer (Gulati et al. 2020) and Transformer (Vaswani et al. 2017)
+encoder blocks — TPU-first extensions.
 
 Beyond the reference's encoder zoo (SURVEY.md §2.5 stops at BLSTM/VGG/CNN),
-but the natural modern encoder for this framework: every op here is
-parallel over the time axis — two macaron feed-forwards, multi-head
-self-attention, and a depthwise-conv module are all large batched matmuls /
+but the natural modern encoders for this framework: every op here is
+parallel over the time axis — feed-forwards, multi-head self-attention,
+and (conformer) a depthwise-conv module are all large batched matmuls /
 convs that fill the MXU, with none of the serial per-step chain that
-latency-bounds the recurrent encoders. Selected via
-``encoder_type: conformer`` and usable by every model family (CTC,
-attention, joint) through the same ``EncoderOutput`` contract.
+latency-bounds the recurrent encoders. Selected via ``encoder_type:
+conformer`` / ``encoder_type: transformer`` and usable by every model
+family (CTC, attention, joint) through the same ``EncoderOutput`` contract.
 
-Simplifications vs the paper, documented: absolute sinusoidal positions
+``block="conformer"`` layers are macaron: ½FF → MHSA → conv → ½FF → LN.
+``block="transformer"`` layers are pre-LN: x += MHSA(LN x); x += FF(LN x),
+with one final stack LayerNorm (the standard pre-LN arrangement, which
+trains without warmup-critical post-LN instabilities).
+
+Simplifications vs the papers, documented: absolute sinusoidal positions
 (not relative — fine at these sequence lengths), LayerNorm in the conv
 module instead of BatchNorm (no cross-batch state to manage under jit;
 a standard substitution).
@@ -33,6 +39,7 @@ class ConformerSpec(NamedTuple):
     ff_expansion: int = 4
     compute_dtype: str = "float32"  # "bfloat16": big matmuls at 2x MXU rate,
     # f32 accumulation/residuals (unlike the LSTM, these are not latency-bound)
+    block: str = "conformer"  # "conformer" (macaron+conv) | "transformer" (pre-LN)
 
 
 def _xavier(key, fin, fout):
@@ -150,14 +157,20 @@ def init_conformer(key, spec: ConformerSpec, input_dim: int):
     layers = []
     for i in range(spec.num_layers):
         k1, k2, k3, k4 = jax.random.split(keys[i], 4)
-        layers.append({
-            "ff1": _ff_init(k1, spec),
-            "mhsa": _mhsa_init(k2, spec),
-            "conv": _conv_init(k3, spec),
-            "ff2": _ff_init(k4, spec),
-            "ln": _ln_init(spec.dim),
-        })
-    return {"proj": _dense_init(keys[-1], input_dim, spec.dim), "layers": layers}
+        if spec.block == "transformer":
+            layers.append({"mhsa": _mhsa_init(k2, spec), "ff": _ff_init(k4, spec)})
+        else:
+            layers.append({
+                "ff1": _ff_init(k1, spec),
+                "mhsa": _mhsa_init(k2, spec),
+                "conv": _conv_init(k3, spec),
+                "ff2": _ff_init(k4, spec),
+                "ln": _ln_init(spec.dim),
+            })
+    params = {"proj": _dense_init(keys[-1], input_dim, spec.dim), "layers": layers}
+    if spec.block == "transformer":
+        params["ln_out"] = _ln_init(spec.dim)  # final pre-LN stack norm
+    return params
 
 
 def _posenc(t, d):
@@ -184,10 +197,16 @@ def apply_conformer(
             return z
         return dropout(drop_keys[i], z, keep_prob, train)
 
-    for li, p in enumerate(params["layers"]):
-        x = x + 0.5 * drop(_ff(p["ff1"], x, dt), 4 * li)
-        x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
-        x = x + drop(_conv_module(p["conv"], x, mask, spec), 4 * li + 2)
-        x = x + 0.5 * drop(_ff(p["ff2"], x, dt), 4 * li + 3)
-        x = _ln(p["ln"], x)
+    if spec.block == "transformer":
+        for li, p in enumerate(params["layers"]):
+            x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
+            x = x + drop(_ff(p["ff"], x, dt), 4 * li + 3)
+        x = _ln(params["ln_out"], x)
+    else:
+        for li, p in enumerate(params["layers"]):
+            x = x + 0.5 * drop(_ff(p["ff1"], x, dt), 4 * li)
+            x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
+            x = x + drop(_conv_module(p["conv"], x, mask, spec), 4 * li + 2)
+            x = x + 0.5 * drop(_ff(p["ff2"], x, dt), 4 * li + 3)
+            x = _ln(p["ln"], x)
     return x * mask[..., None]

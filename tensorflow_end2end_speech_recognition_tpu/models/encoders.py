@@ -5,7 +5,8 @@ multitask taps — the full factory surface of the reference's
 
 Registry keys (reference config ``encoder_type``): ``lstm``, ``blstm``,
 ``gru``, ``bgru``, ``pyramidal_blstm`` (alias ``pblstm``), ``vgg_blstm``,
-``vgg_lstm``, ``cnn_zhang``, ``multitask_blstm``, ``multitask_lstm``.
+``vgg_lstm``, ``cnn_zhang``, ``multitask_blstm``, ``multitask_lstm``; plus
+the TPU-first extensions ``conformer`` and ``transformer`` (conformer.py).
 
 TPU notes: pyramidal reduction concatenates adjacent frame pairs between
 layers (LAS-style 2x time halving, so attention sees T/2^(L-1)); VGG blocks
@@ -80,7 +81,7 @@ class EncoderConfig(NamedTuple):
     def output_dim(self) -> int:
         if self.encoder_type == "cnn_zhang":
             return self.fc_units[-1]
-        if self.encoder_type == "conformer":
+        if self.encoder_type in ("conformer", "transformer"):
             return self.num_units
         d = self.num_proj or self.num_units
         return d * (2 if self.bidirectional else 1)
@@ -92,6 +93,7 @@ class EncoderConfig(NamedTuple):
             dim=self.num_units, num_layers=self.num_layers,
             num_heads=self.num_heads, conv_kernel_size=self.conv_kernel_size,
             ff_expansion=self.ff_expansion, compute_dtype=self.compute_dtype,
+            block=self.encoder_type,
         )
 
     def spec(self) -> RNNSpec:
@@ -115,7 +117,7 @@ class EncoderOutput(NamedTuple):
 ENCODER_TYPES = (
     "lstm", "blstm", "gru", "bgru", "pyramidal_blstm", "pblstm",
     "vgg_blstm", "vgg_lstm", "cnn_zhang", "multitask_blstm", "multitask_lstm",
-    "conformer",
+    "conformer", "transformer",
 )
 
 
@@ -195,7 +197,7 @@ def init_encoder(key, cfg: EncoderConfig, input_dim: int):
     keys = jax.random.split(key, cfg.num_layers + 2)
     dim = input_dim
 
-    if cfg.encoder_type == "conformer":
+    if cfg.encoder_type in ("conformer", "transformer"):
         from .conformer import init_conformer
 
         return {"conformer": init_conformer(keys[0], cfg.conformer_spec(), input_dim)}
@@ -275,7 +277,7 @@ def apply_encoder(
         jax.random.split(rng, cfg.num_layers) if (train and rng is not None) else None
     )
 
-    if cfg.encoder_type == "conformer":
+    if cfg.encoder_type in ("conformer", "transformer"):
         from .conformer import apply_conformer
 
         out = apply_conformer(

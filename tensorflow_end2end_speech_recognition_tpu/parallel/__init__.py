@@ -6,10 +6,14 @@ from .mesh import (
     setup_data_parallel,
     shard_batch,
 )
+from .multihost import distribute_batch, global_device_batch, process_slice
 
 __all__ = [
     "batch_sharding",
+    "distribute_batch",
+    "global_device_batch",
     "make_mesh",
+    "process_slice",
     "replicate",
     "replicated",
     "setup_data_parallel",

@@ -226,13 +226,20 @@ def build_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None)
     return build_att_task(exp, tokenizer, feature_dim), att_task
 
 
-def _to_device_batch(batch, multitask: bool):
-    jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
-    if multitask and "labels_sub" not in jbatch:
+def _to_device_batch(batch, multitask: bool, mesh=None):
+    host = {k: v for k, v in batch.items() if k != "names"}
+    if multitask and "labels_sub" not in host:
         # toy fallback: sub task mirrors the main labels
-        jbatch["labels_sub"] = jbatch["labels"]
-        jbatch["label_len_sub"] = jbatch["label_len"]
-    return jbatch
+        host["labels_sub"] = host["labels"]
+        host["label_len_sub"] = host["label_len"]
+    if mesh is not None:
+        # rows sharded over the DP mesh; at pod scale each process slices
+        # its own rows host-side first (parallel/multihost.py), so feature
+        # bytes ride host-local IO + ICI only, never DCN
+        from ..parallel.multihost import distribute_batch
+
+        return distribute_batch(mesh, host)
+    return {k: jnp.asarray(v) for k, v in host.items()}
 
 
 def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=print, profile_steps: tuple | None = None):
@@ -279,6 +286,18 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     best_dev = float("inf")
     summary = {}
     start_epoch = 0
+    mesh = None
+    if exp.num_devices and exp.num_devices > 1:
+        from ..parallel import make_mesh
+
+        if exp.batch_size % exp.num_devices:
+            raise ValueError(
+                f"batch_size {exp.batch_size} not divisible by "
+                f"num_devices {exp.num_devices}"
+            )
+        mesh = make_mesh(exp.num_devices)
+        print_fn(f"data-parallel over {exp.num_devices} devices "
+                 f"({jax.process_count()} process(es))")
     if ckpts.latest_epoch is not None:
         # crash/restart recovery (SURVEY.md §5.3): restore the FULL training
         # state — params, optimizer slots, RNG stream, LR-controller state,
@@ -304,6 +323,11 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         best_dev = float(extra["best_dev"])
         start_epoch += 1
         print_fn(f"resuming from checkpoint epoch {start_epoch - 1}")
+    if mesh is not None:
+        # after any resume, so restored state is re-placed over the mesh
+        from ..parallel import setup_data_parallel
+
+        params, opt_state, _ = setup_data_parallel(mesh, params, opt_state)
     for epoch in range(start_epoch, exp.num_epoch):
         t0 = time.perf_counter()
         losses = []
@@ -312,7 +336,7 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
 
         for batch in prefetch(train_ds.batches(epoch)):
             rng, sub = jax.random.split(rng)
-            jbatch = _to_device_batch(batch, multitask)
+            jbatch = _to_device_batch(batch, multitask, mesh)
             if profile_steps and step == profile_steps[0]:
                 jax.profiler.start_trace(str(model_dir / "trace"))
             # linear warmup (host-side scalar: no recompile, like LR decay)

@@ -94,6 +94,10 @@ class ExperimentConfig:
     sort_utt: bool = True
     sort_stop_epoch: int | None = None
     eval_batch_size: int | None = None
+    # data parallelism (TPU-native extension; the reference was single-GPU).
+    # num_devices > 1 trains over a 1-D DP mesh: batch sharded over ICI,
+    # params/opt-state replicated, gradient psum inserted by XLA.
+    num_devices: int | None = None
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0

@@ -148,3 +148,58 @@ def test_dp_conformer_matches_single_device():
     np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), rtol=1e-5)
     for a, bb in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
+def test_process_slice_partitions_batch():
+    from tensorflow_end2end_speech_recognition_tpu.parallel import process_slice
+
+    batch = {
+        "inputs": np.arange(32).reshape(8, 4),
+        "labels": np.arange(8),
+    }
+    # P=1: identity
+    assert process_slice(batch, 0, 1) is batch
+    # P=4: each process gets its contiguous 2-row slice; union = whole batch
+    rows = []
+    for p in range(4):
+        local = process_slice(batch, p, 4)
+        assert local["inputs"].shape == (2, 4)
+        rows.append(local["inputs"])
+    np.testing.assert_array_equal(np.concatenate(rows), batch["inputs"])
+    # indivisible batch rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        process_slice({"x": np.zeros((6, 2))}, 0, 4)
+
+
+def test_global_device_batch_single_process():
+    from tensorflow_end2end_speech_recognition_tpu.parallel import (
+        global_device_batch,
+        process_slice,
+    )
+
+    mesh = make_mesh(8)
+    host = {"inputs": np.arange(64, dtype=np.float32).reshape(8, 8)}
+    out = global_device_batch(mesh, process_slice(host), process_count=1)
+    assert out["inputs"].shape == (8, 8)
+    assert len(out["inputs"].sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in out["inputs"].addressable_shards}
+    assert shard_shapes == {(1, 8)}
+    np.testing.assert_array_equal(np.asarray(out["inputs"]), host["inputs"])
+
+
+def test_fit_data_parallel_end_to_end(tmp_path):
+    """fit() with num_devices=8 trains over the virtual CPU mesh."""
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import ExperimentConfig
+
+    exp = ExperimentConfig(
+        model_type="ctc", label_type="phone61", encoder_type="blstm",
+        num_units=8, num_layers=1, batch_size=8, num_epoch=2,
+        toy_num_utts=24, toy_max_units=4, num_devices=8,
+        use_delta=False, use_energy=False,
+    )
+    summary = fit(exp, str(tmp_path / "m"), log_every=100, print_fn=lambda *a: None)
+    assert np.isfinite(summary["train_loss"])
+    assert summary["epochs"] == 2

@@ -203,3 +203,76 @@ def test_conformer_ctc_learns_toy_task():
     last = float(aux["loss"])
     assert np.isfinite(last)
     assert last < 0.6 * first, (first, last)
+
+
+def test_transformer_shapes_and_pad_invariance():
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import (
+        EncoderConfig,
+        apply_encoder,
+        init_encoder,
+    )
+
+    cfg = EncoderConfig(encoder_type="transformer", num_units=32, num_layers=2,
+                        num_heads=4)
+    params = init_encoder(jax.random.PRNGKey(0), cfg, 12)
+    # transformer layers carry no conv module and a single FF
+    layer = params["conformer"]["layers"][0]
+    assert set(layer) == {"mhsa", "ff"}
+    assert "ln_out" in params["conformer"]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 12).astype(np.float32))
+    lengths = jnp.asarray([10, 6])
+    out = apply_encoder(params, cfg, x, lengths)
+    assert out.outputs.shape == (2, 10, 32)
+    np.testing.assert_allclose(np.asarray(out.outputs[1, 6:]), 0.0, atol=1e-6)
+    # valid outputs must not depend on how much padding follows
+    x_long = jnp.concatenate([x, jnp.ones((2, 5, 12))], axis=1)
+    out_long = apply_encoder(params, cfg, x_long, lengths)
+    np.testing.assert_allclose(
+        np.asarray(out_long.outputs[1, :6]), np.asarray(out.outputs[1, :6]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_transformer_ctc_learns_toy_task():
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.data import Dataset, ToyCorpus
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import (
+        CTCTaskConfig,
+        init_params,
+        make_train_step,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train.optimizer import build_optimizer
+
+    corpus = ToyCorpus(num_utts=8, vocab_size=5, min_units=2, max_units=3, seed=11)
+    ds = Dataset(corpus.utterances, batch_size=8, num_wav_buckets=1, num_label_buckets=1)
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="transformer", num_units=32,
+                                  num_layers=1, num_heads=4),
+            num_classes=corpus.tokenizer.num_units,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+        num_stack=3, num_skip=3,
+    )
+    params = init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("adam", clip_grad_norm=5.0)
+    opt_state = opt.init(params)
+    step = make_train_step(task, opt)
+    batch = {k: jnp.asarray(v) for k, v in next(ds.batches(0)).items() if k != "names"}
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(60):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, aux = step(params, opt_state, batch, 2e-3, sub)
+        if first is None:
+            first = float(aux["loss"])
+    last = float(aux["loss"])
+    assert np.isfinite(last)
+    assert last < 0.6 * first, (first, last)
