@@ -90,11 +90,14 @@ def _mel_to_hz(mel):
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_mats(cfg: FrontendConfig):
+def _dft_mats(cfg: FrontendConfig, pad_rows: int = 0):
     """Window-folded real-DFT matrices: frames @ C, frames @ S give re/im parts.
 
-    Cached as *numpy* (never jnp): converting to a jnp array inside a jit
-    trace would cache a tracer and leak it into unrelated traces.
+    ``pad_rows`` appends zero rows so the matrices consume ``_frame_blocks``'s
+    [..., nblk*frame_step] layout directly (the over-read tail columns are
+    annihilated by the zeros). Cached as *numpy* (never jnp): converting to a
+    jnp array inside a jit trace would cache a tracer and leak it into
+    unrelated traces.
     """
     n, nfft = cfg.frame_length, cfg.fft_length
     bins = nfft // 2 + 1
@@ -104,6 +107,9 @@ def _dft_mats(cfg: FrontendConfig):
     ang = 2.0 * np.pi * t * k / nfft
     cos_m = (np.cos(ang) * w[:, None]).astype(np.float32)  # [n, bins]
     sin_m = (-np.sin(ang) * w[:, None]).astype(np.float32)
+    if pad_rows:
+        cos_m = np.pad(cos_m, ((0, pad_rows), (0, 0)))
+        sin_m = np.pad(sin_m, ((0, pad_rows), (0, 0)))
     return cos_m, sin_m
 
 
@@ -147,6 +153,39 @@ def frame_signal(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     return wav[..., idx]
 
 
+def _frame_blocks(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """[..., N] -> [..., T, nblk*frame_step] frames WITHOUT a gather.
+
+    TPU gathers are slow (measured ~3 ms for [32, 192k] -> [32, 1198, 400]
+    vs ~0.3 ms of DMA floor), so framing is decomposed into a block reshape
+    plus ``nblk = ceil(frame_length/frame_step)`` static slices: frame t's
+    samples [t*step, t*step+length) lie inside blocks t..t+nblk-1 of a
+    [N/step, step] reshape. The trailing ``nblk*step - frame_length``
+    columns of each row hold samples from beyond the frame (NOT zeros);
+    consumers fold that away via zero rows in the DFT matrices
+    (``_dft_mats`` pads) or by slicing ``[..., :frame_length]``.
+    Bit-identical to ``frame_signal`` on the shared columns.
+    """
+    n = wav.shape[-1]
+    if n < cfg.frame_length:
+        raise ValueError(
+            f"padded waveform length {n} is shorter than one frame "
+            f"({cfg.frame_length} samples); pad batches to >= frame_length"
+        )
+    step, fl = cfg.frame_step, cfg.frame_length
+    t_frames = max(0, 1 + (n - fl) // step)
+    nblk = -(-fl // step)
+    blocks_needed = t_frames + nblk - 1
+    total = blocks_needed * step
+    if total > n:
+        wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, total - n)])
+    else:
+        wav = wav[..., :total]
+    a = wav.reshape(*wav.shape[:-1], blocks_needed, step)
+    parts = [a[..., k : k + t_frames, :] for k in range(nblk)]
+    return jnp.concatenate(parts, axis=-1)  # [..., T, nblk*step]
+
+
 def preemphasize(wav: jnp.ndarray, coeff: float) -> jnp.ndarray:
     if coeff == 0.0:
         return wav
@@ -174,8 +213,8 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     the square/add/log in between.
     """
     wav = preemphasize(wav.astype(jnp.float32), cfg.preemphasis)
-    frames = frame_signal(wav, cfg)  # [..., T, n]
-    cos_m, sin_m = _dft_mats(cfg)
+    frames = _frame_blocks(wav, cfg)  # [..., T, nblk*step] (tail cols over-read)
+    cos_m, sin_m = _dft_mats(cfg, pad_rows=frames.shape[-1] - cfg.frame_length)
     re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32)
     im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32)
     power = re * re + im * im  # [..., T, bins]
@@ -186,7 +225,8 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     elif cfg.feature_type != "fbank":
         raise ValueError(f"unknown feature_type {cfg.feature_type!r}")
     if cfg.use_energy:
-        energy = jnp.sum(frames * frames, axis=-1, keepdims=True)
+        valid = frames[..., : cfg.frame_length]  # drop the over-read tail
+        energy = jnp.sum(valid * valid, axis=-1, keepdims=True)
         logmel = jnp.concatenate([jnp.log(jnp.maximum(energy, cfg.log_floor)), logmel], axis=-1)
     return logmel
 

@@ -201,3 +201,21 @@ def test_fit_with_speaker_cmvn(tmp_path):
     s = fit(exp, tmp_path / "m", print_fn=lambda *a: None)
     assert np.isfinite(s["train_loss"])
     assert np.isfinite(s["dev_loss"])
+
+
+def test_frame_blocks_matches_gather_framing():
+    """The reshape-slice framing (TPU gather avoidance) is bit-identical to
+    frame_signal on the frame_length columns, across ragged lengths."""
+    from tensorflow_end2end_speech_recognition_tpu.frontend.features import (
+        _frame_blocks,
+        frame_signal,
+    )
+
+    cfg = FrontendConfig()
+    rng = np.random.RandomState(3)
+    for n in (400, 401, 560, 4096, 16000):
+        wav = jnp.asarray(rng.randn(2, n).astype(np.float32))
+        ref = np.asarray(frame_signal(wav, cfg))
+        blk = np.asarray(_frame_blocks(wav, cfg))
+        assert blk.shape[:-1] == ref.shape[:-1]
+        np.testing.assert_array_equal(blk[..., : cfg.frame_length], ref)
