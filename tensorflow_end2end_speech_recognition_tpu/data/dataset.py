@@ -136,11 +136,17 @@ class Dataset:
                 labels_sub[j, : len(u.sub_ids)] = u.sub_ids
                 label_len_sub[j] = len(u.sub_ids)
             names.append(u.name if j < len(utts) else None)
+        # duplicate-fill rows get weight 0: the loss's weighted batch mean
+        # (ops/losses.py batch_mean) then matches the corpus distribution
+        # exactly (eval already dedups via name=None)
+        weight = np.zeros((b,), dtype=np.float32)
+        weight[: len(utts)] = 1.0
         batch = {
             "inputs": inputs,
             "labels": labels,
             "input_len": input_len,
             "label_len": label_len,
+            "weight": weight,
             "names": names,
         }
         if has_sub:

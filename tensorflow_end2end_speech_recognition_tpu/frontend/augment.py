@@ -45,8 +45,16 @@ def spec_augment(
         max_w = jnp.maximum(
             (feat_len.astype(jnp.float32) * cfg.time_mask_frac).astype(jnp.int32), 1
         )[:, None, None]
-        width = jax.random.randint(k0, (b, 1, 1), 0, t) % (max_w + 1)
-        start = jax.random.randint(k1, (b, 1, 1), 0, t)
+        # per-row bound is traced, so sample via uniform * (bound+1) — this
+        # is exactly uniform over {0..max_w} (randint can't take traced
+        # bounds, and `randint(0, t) % (max_w+1)` skews small widths)
+        width = jnp.floor(
+            jax.random.uniform(k0, (b, 1, 1)) * (max_w + 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        # start within the valid region (paper behaviour: masks land on
+        # real frames, not padding)
+        lo = jnp.maximum(feat_len[:, None, None] - width + 1, 1).astype(jnp.float32)
+        start = jnp.floor(jax.random.uniform(k1, (b, 1, 1)) * lo).astype(jnp.int32)
         keep = keep * jnp.where(
             (time_idx >= start) & (time_idx < start + width), 0.0, 1.0
         )

@@ -12,6 +12,20 @@ import jax
 import jax.numpy as jnp
 
 
+def batch_mean(per_utt: jnp.ndarray, weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean over the batch axis, optionally weighted by per-row ``weight``.
+
+    Short final batches are padded to full size with duplicate utterances
+    (static shapes for XLA, ``data/dataset.py``); their rows carry
+    ``weight=0`` so the training gradient is exactly the corpus
+    distribution — without weights the duplicates would be counted twice.
+    """
+    if weight is None:
+        return jnp.mean(per_utt)
+    w = weight.astype(jnp.float32)
+    return jnp.sum(per_utt * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def smoothed_cross_entropy(
     logits: jnp.ndarray,  # [B, U, V]
     targets: jnp.ndarray,  # [B, U] int (may contain -1 padding)

@@ -1,0 +1,134 @@
+"""Model export for deployment: frozen inference graphs as StableHLO.
+
+The reference had no serving story (decode ran inside the research scripts
+via ``sess.run`` — SURVEY.md §1 "no serving layer"). For production serving
+this module freezes a trained model into a self-contained, ahead-of-time
+exportable artifact via ``jax.export``:
+
+- the full inference pipeline (waveform/feature batch -> frontend -> encoder
+  -> greedy or prefix-beam decode) is staged as ONE StableHLO program with
+  the checkpoint weights baked in as constants (the TF "frozen graph"
+  equivalent), so a serving process needs no Python model code, no
+  checkpoint restore, and no tracing — just the JAX/XLA runtime;
+- shapes are static (batch x padded samples), matching the bucketed batch
+  contract the framework trains with;
+- ``platforms`` selects the lowering targets (e.g. ``["tpu", "cpu"]``) so
+  one artifact can serve on TPU workers and fall back to CPU canaries.
+
+CLI: ``python -m tensorflow_end2end_speech_recognition_tpu.bin.export``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+
+def build_inference_fn(task, task_mod, params, beam_width: int = 1):
+    """(inputs, input_len) -> (decoded ids [B, T'], lengths [B]).
+
+    ``params`` are closed over: ``jax.export`` stages them into the artifact
+    as constants. CTC models decode greedy or prefix-beam; attention models
+    decode greedy (or beam via ``attention_beam_search``). No loss is staged
+    — the graph is inference-only.
+    """
+    from .train.ctc_task import CTCTaskConfig, device_pipeline
+
+    if isinstance(task, CTCTaskConfig):
+        from .decoding import ctc_greedy_decode, ctc_prefix_beam_search
+        from .models.ctc import apply_ctc
+
+        def infer(inputs, input_len):
+            feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
+            out = apply_ctc(params, task.model, feats, fl)
+            if beam_width > 1:
+                p, l, _ = ctc_prefix_beam_search(
+                    out.logits, out.logit_len, task.model.blank_id, beam_width=beam_width
+                )
+                return p[:, 0], l[:, 0]
+            return ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
+
+        return infer
+
+    from .decoding import attention_beam_search
+    from .models.seq2seq import greedy_decode
+
+    def infer(inputs, input_len):
+        feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
+        cfg = task.model
+        if beam_width > 1:
+            res = attention_beam_search(params, cfg, feats, fl, beam_width=beam_width)
+            return res.tokens[:, 0], res.lengths[:, 0]
+        out = greedy_decode(params, cfg, feats, fl)
+        preds = out.predicted_ids
+        seen = jnp.cumsum(preds == cfg.eos_id, axis=1) > 0
+        return jnp.where(seen, -1, preds), jnp.sum(~seen, axis=1)
+
+    return infer
+
+
+def export_model(
+    task,
+    task_mod,
+    params,
+    out_path: str | Path,
+    batch_size: int,
+    num_samples: int,
+    beam_width: int = 1,
+    tokenizer=None,
+    platforms: tuple | None = None,
+) -> Path:
+    """Freeze + serialize the inference graph; returns the artifact path.
+
+    ``num_samples``: padded waveform samples (frontend mode) or padded
+    frames (precomputed-feature mode, where inputs are [B, T, D]).
+    Writes ``<out>.json`` next to the artifact with the serving contract
+    (shapes, units, blank id) so clients can decode without the framework.
+    """
+    infer = build_inference_fn(task, task_mod, params, beam_width)
+    if task.frontend is not None:
+        in_spec = jax.ShapeDtypeStruct((batch_size, num_samples), jnp.float32)
+    else:
+        in_spec = jax.ShapeDtypeStruct(
+            (batch_size, num_samples, task.feature_dim), jnp.float32
+        )
+    len_spec = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    kwargs = {"platforms": platforms} if platforms else {}
+    exported = jax_export.export(jax.jit(infer), **kwargs)(in_spec, len_spec)
+    out_path = Path(out_path)
+    out_path.write_bytes(exported.serialize())
+    meta = {
+        "batch_size": batch_size,
+        "num_samples": num_samples,
+        "input_rank": len(in_spec.shape),
+        "beam_width": beam_width,
+        "platforms": list(exported.platforms),
+        "blank_id": getattr(task.model, "blank_id", None),
+        "units": list(getattr(tokenizer, "units", [])) if tokenizer else None,
+    }
+    out_path.with_suffix(out_path.suffix + ".json").write_text(
+        json.dumps(meta, indent=2)
+    )
+    return out_path
+
+
+def load_exported(path: str | Path):
+    """Deserialize an exported artifact; returns ``fn(inputs, input_len)``.
+
+    The returned callable runs the frozen program (weights included) on the
+    current backend — no model code or checkpoint needed.
+    """
+    exported = jax_export.deserialize(Path(path).read_bytes())
+
+    def infer(inputs, input_len):
+        decoded, dec_len = exported.call(
+            jnp.asarray(inputs, jnp.float32), jnp.asarray(input_len, jnp.int32)
+        )
+        return np.asarray(decoded), np.asarray(dec_len)
+
+    return infer

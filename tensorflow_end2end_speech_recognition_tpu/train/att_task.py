@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..models.seq2seq import Seq2SeqConfig, forward_train, greedy_decode, init_seq2seq
 from ..ops.ctc import ctc_loss
-from ..ops.losses import joint_loss, l2_weight_decay, smoothed_cross_entropy
+from ..ops.losses import batch_mean, joint_loss, l2_weight_decay, smoothed_cross_entropy
 from .ctc_task import device_pipeline
 from .optimizer import apply_updates
 from ..frontend.augment import SpecAugmentConfig, spec_augment
@@ -90,15 +90,19 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
         params, cfg, feats, feat_len, labels_in, rng,
         ss_prob=scheduled_sampling_prob(task, step) if train else 0.0,
     )
-    att_nll = jnp.mean(smoothed_cross_entropy(out.logits, targets, mask, task.label_smoothing))
+    row_w = batch.get("weight")  # 0.0 on duplicate-fill rows of short batches
+    att_nll = batch_mean(
+        smoothed_cross_entropy(out.logits, targets, mask, task.label_smoothing), row_w
+    )
     aux = {"att_nll": att_nll}
     loss = att_nll
     if cfg.is_joint:
-        ctc_nll = jnp.mean(
+        ctc_nll = batch_mean(
             ctc_loss(
                 out.ctc_logits, out.ctc_logit_len, batch["labels"], batch["label_len"],
                 blank_id=cfg.num_classes, impl=task.ctc_impl,
-            )
+            ),
+            row_w,
         )
         aux["ctc_nll"] = ctc_nll
         loss = joint_loss(ctc_nll, att_nll, cfg.ctc_loss_weight)

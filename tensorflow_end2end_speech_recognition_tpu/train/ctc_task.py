@@ -21,7 +21,7 @@ from ..frontend.augment import SpecAugmentConfig, spec_augment
 from ..frontend.features import FrontendConfig, extract_features
 from ..models.ctc import CTCConfig, apply_ctc, init_ctc
 from ..ops.ctc import ctc_loss
-from ..ops.losses import l2_weight_decay
+from ..ops.losses import batch_mean, l2_weight_decay
 from .optimizer import apply_updates
 
 
@@ -85,7 +85,8 @@ def forward_loss(params, task: CTCTaskConfig, batch, train: bool, rng=None):
         out.logits, out.logit_len, batch["labels"], batch["label_len"],
         blank_id=task.model.blank_id, impl=task.ctc_impl,
     )
-    loss = jnp.mean(nll)
+    row_w = batch.get("weight")  # 0.0 on duplicate-fill rows of short batches
+    loss = batch_mean(nll, row_w)
     aux = {"ctc_nll": loss}
     if out.sub_logits is not None:
         sub_nll = ctc_loss(
@@ -94,8 +95,9 @@ def forward_loss(params, task: CTCTaskConfig, batch, train: bool, rng=None):
             blank_id=task.model.num_classes_sub, impl=task.ctc_impl,
         )
         w = task.main_task_weight
-        loss = w * loss + (1.0 - w) * jnp.mean(sub_nll)
-        aux["ctc_nll_sub"] = jnp.mean(sub_nll)
+        sub_mean = batch_mean(sub_nll, row_w)
+        loss = w * loss + (1.0 - w) * sub_mean
+        aux["ctc_nll_sub"] = sub_mean
     if task.weight_decay:
         loss = loss + l2_weight_decay(params, task.weight_decay)
     aux["loss"] = loss

@@ -48,3 +48,27 @@ def test_plot_utilities_write_files(tmp_path):
     w /= w.sum(-1, keepdims=True)
     p = plot_attention_weights(w, tmp_path / "att.png", hyp_tokens=list("abcdefgh"))
     assert p.exists() and p.stat().st_size > 1000
+
+
+def test_spec_augment_time_masks_land_on_valid_frames():
+    """Time masks stay inside each row's valid region and widths span the
+    full {0..max_w} range uniformly-ish (the old randint%(max_w+1) skewed
+    small)."""
+    cfg = SpecAugmentConfig(freq_mask_width=0, num_freq_masks=0,
+                            num_time_masks=1, time_mask_frac=0.2)
+    feats = jnp.ones((4, 40, 8))
+    feat_len = jnp.asarray([40, 40, 20, 20])
+    widths = []
+    for s in range(100):
+        out = np.asarray(spec_augment(jax.random.PRNGKey(s), feats, feat_len, cfg))
+        masked = out[..., 0] == 0.0  # [B, T] time-mask footprint
+        for row, n in zip(masked, np.asarray(feat_len)):
+            # nothing masked in the pad region
+            assert not row[n:].any()
+            widths.append(int(row.sum()))
+    widths = np.asarray(widths)
+    # max_w = 8 (len 40) / 4 (len 20); both extremes must occur, and the
+    # distribution must not be clumped at tiny widths
+    assert widths.max() >= 7
+    assert (widths == 0).any()
+    assert widths.mean() > 1.5

@@ -180,3 +180,44 @@ def test_prefetch_preserves_order_and_propagates_errors():
 
     with pytest.raises(ValueError, match="producer failed"):
         list(it)
+
+
+def test_short_final_batch_weights_and_weighted_loss():
+    """Duplicate-fill rows carry weight 0, and the weighted train loss equals
+    the loss over just the real utterances (no duplicate bias)."""
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.data import Dataset, ToyCorpus
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import (
+        CTCTaskConfig,
+        forward_loss,
+        init_params,
+    )
+
+    corpus = ToyCorpus(num_utts=10, vocab_size=5, min_units=2, max_units=3, seed=4)
+    ds = Dataset(corpus.utterances, batch_size=8, sort_utt=True,
+                 num_wav_buckets=1, num_label_buckets=1)
+    batches = list(ds.batches(0))
+    assert len(batches) == 2
+    short = batches[1]  # 2 real rows + 6 fill
+    np.testing.assert_array_equal(short["weight"][:2], 1.0)
+    np.testing.assert_array_equal(short["weight"][2:], 0.0)
+    assert [n is None for n in short["names"]] == [False] * 2 + [True] * 6
+
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="blstm", num_units=8, num_layers=1),
+            num_classes=corpus.tokenizer.num_units,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    params = init_params(jax.random.PRNGKey(0), task)
+    jb = {k: jnp.asarray(v) for k, v in short.items() if k != "names"}
+    loss_w, _ = forward_loss(params, task, jb, train=False)
+    # reference: mean loss over ONLY the real rows (weightless 2-row batch)
+    jb2 = {k: v[:2] for k, v in jb.items() if k != "weight"}
+    loss_ref, _ = forward_loss(params, task, jb2, train=False)
+    np.testing.assert_allclose(float(loss_w), float(loss_ref), rtol=1e-5)
