@@ -123,3 +123,20 @@ def test_cli_decode_applies_speaker_cmvn(tmp_path, capsys):
     assert seen["cmvn_stats"] is not None
     out = capsys.readouterr().out
     assert "REF:" in out
+
+
+def test_cli_export_selfcheck(tmp_path, capsys):
+    from tensorflow_end2end_speech_recognition_tpu.bin import export as export_bin, train
+
+    cfg = tmp_path / "cfg.yml"
+    _write_cfg(cfg)
+    mdir = tmp_path / "model"
+    train.main([str(cfg), str(mdir)])
+    capsys.readouterr()
+
+    out_path = tmp_path / "model.shlo"
+    export_bin.main([str(mdir), str(out_path), "--batch", "2",
+                     "--seconds", "0.5", "--beam-width", "2", "--selfcheck"])
+    out = capsys.readouterr().out
+    assert "exported" in out and "selfcheck ok" in out
+    assert out_path.exists() and out_path.with_suffix(".shlo.json").exists()
