@@ -137,6 +137,7 @@ def rnn_scan(
     xs: jnp.ndarray,  # [B, T, D]
     lengths: jnp.ndarray,  # [B]
     reverse: bool = False,
+    initial_state=None,  # LSTM: (h, c); GRU: (h,) — streaming chunk carry
 ):
     """Run one recurrent layer. Returns (outputs [B, T, out_dim], final_state).
 
@@ -145,6 +146,13 @@ def rnn_scan(
     state unchanged, and the pad region sits at the start of the reversed
     walk only for full-length rows — we instead keep time order and mask, so
     reversed outputs align with forward indices).
+
+    ``initial_state`` resumes the recurrence from a carried state (streaming
+    inference over chunks; ``streaming.py``). Because masked steps carry
+    state unchanged, the returned final_state is the state at each row's
+    true length — feed it back as the next chunk's ``initial_state``. The
+    scan path is used unconditionally in this mode (chunks are short; the
+    Pallas layer kernel assumes zero initial state).
     """
     b, t, _ = xs.shape
     h = spec.num_units
@@ -159,12 +167,16 @@ def rnn_scan(
         src = jnp.where(idx < lengths[:, None], lengths[:, None] - 1 - idx, idx)
         xproj = jnp.take_along_axis(xproj, src[..., None], axis=1)
 
-    use_pallas = spec.impl == "pallas" or (
-        spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu"
+    use_pallas = initial_state is None and (
+        spec.impl == "pallas"
+        or (spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu")
     )
     if use_pallas and spec.pallas_eligible:
-        from ..ops.pallas.lstm_kernel import lstm_layer_pallas
+        from ..ops.pallas.lstm_kernel import lstm_layer_pallas, pallas_fits
 
+        if jax.default_backend() == "tpu" and not pallas_fits(b, spec.num_units):
+            use_pallas = False  # scoped VMEM won't fit — fall through to scan
+    if use_pallas and spec.pallas_eligible:
         ys = lstm_layer_pallas(
             xproj, params["wh"], mask[..., 0].astype(jnp.float32), spec.forget_bias
         )
@@ -178,7 +190,9 @@ def rnn_scan(
         return ys, (h_fin, None)
 
     step = _lstm_step if spec.cell == "lstm" else _gru_step
-    if spec.cell == "lstm":
+    if initial_state is not None:
+        carry0 = initial_state
+    elif spec.cell == "lstm":
         carry0 = (jnp.zeros((b, spec.out_dim)), jnp.zeros((b, h)))
     else:
         carry0 = (jnp.zeros((b, h)),)
@@ -240,6 +254,13 @@ def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
     use_pallas = spec.impl == "pallas" or (
         spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu"
     )
+    if use_pallas and spec.pallas_eligible:
+        from ..ops.pallas.lstm_kernel import pallas_fits
+
+        if jax.default_backend() == "tpu" and not pallas_fits(
+            xs.shape[0], spec.num_units
+        ):
+            use_pallas = False  # scoped VMEM won't fit — two-scan path instead
     if use_pallas and spec.pallas_eligible:
         from ..ops.pallas.lstm_kernel import lstm_bidi_pallas
 

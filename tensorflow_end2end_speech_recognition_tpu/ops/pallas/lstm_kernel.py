@@ -152,6 +152,28 @@ def _interpret() -> bool:
 _BLOCK_T = 8  # fwd timesteps per grid step (DMA/grid overhead amortization)
 _BLOCK_T_BWD = 4  # backward streams more tensors; stay inside default VMEM
 
+# Block sizes above are tuned at B=32, H=512 — the measured-good scoped-VMEM
+# footprint. Larger batches (or widths) must shrink the time-block so each
+# block's resident bytes stay at that anchor; beyond the point where even a
+# one-step block busts the budget, the caller must use the lax.scan path
+# (the remote TPU compiler hard-crashes on scoped-VMEM overflow rather than
+# erroring: B=64 bidi-backward was the repro).
+_ANCHOR_ROWS = 32 * 512  # b*h of the tuned configuration
+
+
+def _scale_kt(base: int, t: int, b: int, h: int) -> int:
+    return max(1, min(base, (base * _ANCHOR_ROWS) // max(b * h, 1), t))
+
+
+def pallas_fits(b: int, h: int) -> bool:
+    """True if the layer kernels fit scoped VMEM at these shapes.
+
+    The binding constraints are the backward kernels at kt=1 (streams scale
+    with b*h; anchor kt=4 at b*h=32*512) and the VMEM-resident [H, 4H]
+    weights (4 MB each at H=512; the bidirectional kernels hold two).
+    """
+    return b * h <= 4 * _ANCHOR_ROWS and h <= 512
+
 
 def _pad_t(x, t_pad):
     t = x.shape[0]
@@ -163,7 +185,7 @@ def _pad_t(x, t_pad):
 def _fwd_call(xproj_tm, wh, mask_tm, forget_bias: float):
     t, b, g4 = xproj_tm.shape
     h = g4 // 4
-    kt = min(_BLOCK_T, t)
+    kt = _scale_kt(_BLOCK_T, t, b, h)
     nb = -(-t // kt)
     t_pad = nb * kt
     xproj_tm = _pad_t(xproj_tm, t_pad)
@@ -209,7 +231,7 @@ def _shift_one(x):
 def _bwd_call(xproj_tm, wh, mask_tm, ys, cs, gys_tm, forget_bias: float):
     t, b, g4 = xproj_tm.shape
     h = g4 // 4
-    kt = min(_BLOCK_T_BWD, t)
+    kt = _scale_kt(_BLOCK_T_BWD, t, b, h)
     nb = -(-t // kt)
     t_pad = nb * kt
     ins = [
@@ -411,7 +433,7 @@ _BLOCK_T_BIDI_BWD = 4
 def _bidi_fwd_call(xf, xb, whf, whb, mask_tm, forget_bias: float):
     t, b, g4 = xf.shape
     h = g4 // 4
-    kt = min(_BLOCK_T_BIDI, t)
+    kt = _scale_kt(_BLOCK_T_BIDI, t, b, h)
     nb = -(-t // kt)
     t_pad = nb * kt
     xf, xb, mask_tm = _pad_t(xf, t_pad), _pad_t(xb, t_pad), _pad_t(mask_tm, t_pad)
@@ -442,7 +464,7 @@ def _bidi_bwd_call(xf, xb, whf, whb, mask_tm, ysf, ysb, csf, csb, gysf, gysb,
                    forget_bias: float):
     t, b, g4 = xf.shape
     h = g4 // 4
-    kt = min(_BLOCK_T_BIDI_BWD, t)
+    kt = _scale_kt(_BLOCK_T_BIDI_BWD, t, b, h)
     nb = -(-t // kt)
     t_pad = nb * kt
     pad = lambda x: _pad_t(x, t_pad)

@@ -75,3 +75,26 @@ def test_auto_falls_back_when_ineligible():
     assert not RNNSpec(cell="lstm", num_units=8, clip_activation=5.0).pallas_eligible
     assert not RNNSpec(cell="gru", num_units=8).pallas_eligible
     assert RNNSpec(cell="lstm", num_units=8).pallas_eligible
+
+
+def test_block_scaling_and_vmem_fit_guard():
+    from tensorflow_end2end_speech_recognition_tpu.ops.pallas.lstm_kernel import (
+        _scale_kt,
+        pallas_fits,
+    )
+
+    # tuned anchor (B=32, H=512) keeps the tuned block size
+    assert _scale_kt(8, 400, 32, 512) == 8
+    assert _scale_kt(4, 400, 32, 512) == 4
+    # bigger batches shrink the block to hold the VMEM footprint constant
+    assert _scale_kt(4, 400, 64, 512) == 2
+    assert _scale_kt(4, 400, 128, 512) == 1
+    # never below one step, never above the sequence length
+    assert _scale_kt(8, 2, 32, 512) == 2
+    assert _scale_kt(4, 400, 1024, 512) == 1
+    # smaller widths don't grow past the tuned value
+    assert _scale_kt(8, 400, 32, 64) == 8
+
+    assert pallas_fits(32, 512) and pallas_fits(128, 512) and pallas_fits(256, 256)
+    assert not pallas_fits(256, 512)  # kt=1 still busts scoped VMEM
+    assert not pallas_fits(32, 1024)  # [H,4H] weights alone too big
