@@ -63,6 +63,9 @@ def main(argv=None):
         task, task_mod, params, args.out_path, args.batch, num,
         beam_width=args.beam_width, tokenizer=tokenizer,
         platforms=tuple(args.platforms) if args.platforms else None,
+        extra_meta={"label_type": exp.label_type, "model_type": exp.model_type,
+                    "sample_rate": task.frontend.sample_rate
+                    if task.frontend is not None else None},
     )
     size = out.stat().st_size
     print(f"exported epoch-{epoch} {exp.model_type}/{exp.encoder_type} "

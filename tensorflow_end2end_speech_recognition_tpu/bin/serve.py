@@ -1,0 +1,162 @@
+"""Serve a frozen StableHLO artifact over HTTP with micro-batching.
+
+Production serving entry point (no reference counterpart — the reference
+decoded inside research scripts via ``sess.run``; SURVEY.md §1 "no serving
+layer"). Loads an artifact produced by ``bin.export`` plus its ``.json``
+serving contract and answers speech-recognition requests; concurrent
+requests are micro-batched into the artifact's static batch shape by
+``serving.MicroBatcher`` so the device always runs full fixed-shape
+programs (one XLA executable, zero recompiles).
+
+    python -m tensorflow_end2end_speech_recognition_tpu.bin.serve \
+        /tmp/model.shlo [--host 0.0.0.0] [--port 8000] [--max-wait-ms 10]
+
+API:
+  GET  /healthz    -> the serving contract (shapes, beam width, platforms)
+  POST /recognize  -> body is either JSON ``{"audio": [floats...]}`` (or
+                      ``{"features": [[...], ...]}`` for feature-mode
+                      artifacts) or raw little-endian float32 PCM bytes
+                      (Content-Type: application/octet-stream).
+                      Response: ``{"ids": [...], "text": "..."}``; ``text``
+                      is present when the artifact carries a unit inventory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+
+def _decode_text(ids, meta) -> str | None:
+    units = meta.get("units")
+    if not units:
+        return None
+    toks = [units[i] for i in ids if 0 <= i < len(units)]
+    sep = "" if str(meta.get("label_type", "")).startswith("character") else " "
+    return sep.join(toks)
+
+
+def make_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
+                max_wait_ms: float = 10.0, request_timeout_s: float = 60.0,
+                warmup: bool = True) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``.server_address`` has the
+    bound port. Caller runs ``serve_forever()`` and should call
+    ``.batcher.stop()`` on shutdown.
+
+    ``warmup`` dispatches one zero batch before the server accepts traffic,
+    so no client request ever pays the artifact's first-dispatch compile
+    (minutes on a cold compile cache)."""
+    import numpy as _np
+
+    from ..serving import MicroBatcher, load_exported
+
+    artifact_path = Path(artifact_path)
+    meta = json.loads(
+        artifact_path.with_suffix(artifact_path.suffix + ".json").read_text()
+    )
+    infer = load_exported(artifact_path)
+    num = meta["num_samples"]
+    row_shape = (num,) if meta.get("input_rank", 2) == 2 else tuple(
+        [num, meta["feature_dim"]]
+    )
+    if warmup:
+        t0 = __import__("time").perf_counter()
+        zeros = _np.zeros((meta["batch_size"],) + row_shape, _np.float32)
+        _, n = infer(zeros, _np.zeros((meta["batch_size"],), _np.int32))
+        float(_np.asarray(n).sum())  # sync (block_until_ready unreliable here)
+        print(f"warmup: compiled + ran in "
+              f"{__import__('time').perf_counter() - t0:.1f} s", flush=True)
+    batcher = MicroBatcher(infer, meta["batch_size"], row_shape, max_wait_ms)
+    batcher.request_timeout_s = request_timeout_s
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet; stdout is the server log
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **meta})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/recognize":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                ctype = self.headers.get("Content-Type", "application/json")
+                if ctype.startswith("application/octet-stream"):
+                    audio = np.frombuffer(raw, np.float32)
+                else:
+                    req = json.loads(raw)
+                    audio = np.asarray(
+                        req.get("audio", req.get("features")), np.float32
+                    )
+                if audio.ndim != len(row_shape):
+                    raise ValueError(
+                        f"input rank {audio.ndim} != artifact rank {len(row_shape)}"
+                    )
+                n = min(audio.shape[0], num)  # clip to the padded capacity
+                row = np.zeros(row_shape, np.float32)
+                row[:n] = audio[:n]
+                ids, out_len = batcher.submit(
+                    row, n, timeout=getattr(batcher, "request_timeout_s", 60.0)
+                )
+                ids = [int(i) for i in ids[:out_len]]
+                resp = {"ids": ids, "num_ids": out_len}
+                text = _decode_text(ids, meta)
+                if text is not None:
+                    resp["text"] = text
+                self._json(200, resp)
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    server.meta = meta
+    return server
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("artifact")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--request-timeout-s", type=float, default=60.0)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..utils.jax_setup import setup
+
+    setup()
+    server = make_server(args.artifact, args.host, args.port, args.max_wait_ms,
+                         args.request_timeout_s, warmup=not args.no_warmup)
+    host, port = server.server_address[:2]
+    m = server.meta
+    print(f"serving {args.artifact} on http://{host}:{port}  "
+          f"(batch {m['batch_size']}, beam {m['beam_width']}, "
+          f"platforms {m['platforms']})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.batcher.stop()
+
+
+if __name__ == "__main__":
+    main()

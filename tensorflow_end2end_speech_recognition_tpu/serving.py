@@ -21,6 +21,9 @@ CLI: ``python -m tensorflow_end2end_speech_recognition_tpu.bin.export``.
 from __future__ import annotations
 
 import json
+import queue
+import threading
+import time
 from pathlib import Path
 
 import jax
@@ -82,6 +85,7 @@ def export_model(
     beam_width: int = 1,
     tokenizer=None,
     platforms: tuple | None = None,
+    extra_meta: dict | None = None,
 ) -> Path:
     """Freeze + serialize the inference graph; returns the artifact path.
 
@@ -106,10 +110,12 @@ def export_model(
         "batch_size": batch_size,
         "num_samples": num_samples,
         "input_rank": len(in_spec.shape),
+        "feature_dim": None if task.frontend is not None else task.feature_dim,
         "beam_width": beam_width,
         "platforms": list(exported.platforms),
         "blank_id": getattr(task.model, "blank_id", None),
         "units": list(getattr(tokenizer, "units", [])) if tokenizer else None,
+        **(extra_meta or {}),
     }
     out_path.with_suffix(out_path.suffix + ".json").write_text(
         json.dumps(meta, indent=2)
@@ -137,3 +143,173 @@ def load_exported(path: str | Path):
         )
 
     return infer
+
+
+def export_streaming_model(
+    task,
+    params,
+    out_path: str | Path,
+    batch_size: int,
+    chunk_samples: int,
+    tokenizer=None,
+    platforms: tuple | None = None,
+    extra_meta: dict | None = None,
+) -> Path:
+    """Freeze the streaming chunk step (``streaming.build_streaming_fn``).
+
+    The stream state is flattened to a leaf list so a loader can rebuild the
+    zero initial state from the ``.json`` contract alone (no model code, no
+    pytree definition): the artifact's program is
+    ``(state_leaves, chunk [B, C], chunk_len [B]) ->
+    (state_leaves', tokens [B, F], tok_len [B])``.
+    """
+    from .streaming import build_streaming_fn
+
+    init_fn, step_fn = build_streaming_fn(task, params, chunk_samples)
+    state0 = init_fn(batch_size)
+    leaves0, treedef = jax.tree.flatten(state0)
+
+    def flat_step(leaves, chunk, chunk_len):
+        state = jax.tree.unflatten(treedef, leaves)
+        state, tokens, n = step_fn(state, chunk, chunk_len)
+        return jax.tree.leaves(state), tokens, n
+
+    specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves0]
+    chunk_spec = jax.ShapeDtypeStruct((batch_size, chunk_samples), jnp.float32)
+    len_spec = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    kwargs = {"platforms": platforms} if platforms else {}
+    exported = jax_export.export(jax.jit(flat_step), **kwargs)(
+        specs, chunk_spec, len_spec
+    )
+    out_path = Path(out_path)
+    out_path.write_bytes(exported.serialize())
+    meta = {
+        "streaming": True,
+        "batch_size": batch_size,
+        "chunk_samples": chunk_samples,
+        "frames_per_chunk": chunk_samples // task.frontend.frame_step,
+        "state_leaves": [
+            {"shape": list(x.shape), "dtype": str(x.dtype)} for x in leaves0
+        ],
+        # constant-filled non-zero initial leaves (frame_base starts negative
+        # — the zero-carry preamble; prev_id starts at -1), by leaf index
+        "state_init": {
+            str(i): float(np.asarray(x).ravel()[0])
+            for i, x in enumerate(leaves0)
+            if x.size
+            and float(np.asarray(x).ravel()[0]) != 0.0
+            and bool((np.asarray(x) == np.asarray(x).ravel()[0]).all())
+        },
+        "platforms": list(exported.platforms),
+        "blank_id": task.model.blank_id,
+        "units": list(getattr(tokenizer, "units", [])) if tokenizer else None,
+        **(extra_meta or {}),
+    }
+    out_path.with_suffix(out_path.suffix + ".json").write_text(
+        json.dumps(meta, indent=2)
+    )
+    return out_path
+
+
+def load_streaming(path: str | Path):
+    """Load a streaming artifact; returns ``(state0_leaves, step_fn)``.
+
+    ``step_fn(state_leaves, chunk, chunk_len)`` returns
+    ``(state_leaves', tokens, tok_len)``; thread the leaves through calls.
+    The zero initial state is rebuilt from the ``.json`` contract.
+    """
+    path = Path(path)
+    meta = json.loads(path.with_suffix(path.suffix + ".json").read_text())
+    if not meta.get("streaming"):
+        raise ValueError(f"{path} is not a streaming artifact")
+    exported = jax_export.deserialize(path.read_bytes())
+    call = jax.jit(exported.call)
+    state0 = [jnp.zeros(s["shape"], s["dtype"]) for s in meta["state_leaves"]]
+    for i, v in meta.get("state_init", {}).items():
+        s = meta["state_leaves"][int(i)]
+        state0[int(i)] = jnp.full(s["shape"], v, s["dtype"])
+
+    def step(state_leaves, chunk, chunk_len):
+        return call(
+            state_leaves,
+            jnp.asarray(chunk, jnp.float32),
+            jnp.asarray(chunk_len, jnp.int32),
+        )
+
+    return state0, step
+
+
+class MicroBatcher:
+    """Group concurrent single-utterance requests into fixed-shape batches.
+
+    The exported artifact is compiled for a static ``[B, ...]`` input, but a
+    server receives one utterance per request. The batcher queues requests,
+    forms a device batch when ``batch_size`` are waiting or ``max_wait_ms``
+    elapses since the first one (latency bound), zero-pads unused rows, runs
+    ONE device call, and scatters the per-row results back to the waiters.
+    All device work happens on the single worker thread, so the underlying
+    ``infer`` never sees concurrent dispatch.
+    """
+
+    def __init__(self, infer, batch_size: int, row_shape: tuple,
+                 max_wait_ms: float = 10.0):
+        self._infer = infer
+        self._batch_size = batch_size
+        self._row_shape = tuple(row_shape)
+        self._max_wait = max_wait_ms / 1e3
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, inputs: np.ndarray, input_len: int, timeout: float = 60.0):
+        """Enqueue one utterance; block until its (ids, length) are ready."""
+        inputs = np.asarray(inputs, np.float32)
+        if inputs.shape != self._row_shape:
+            raise ValueError(
+                f"request shape {inputs.shape} != artifact row shape {self._row_shape}"
+            )
+        req = {"inputs": inputs, "len": int(input_len),
+               "done": threading.Event(), "result": None, "error": None}
+        self._queue.put(req)
+        if not req["done"].wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req["error"] is not None:
+            raise req["error"]
+        return req["result"]
+
+    def stop(self):
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            reqs = [first]
+            deadline = time.monotonic() + self._max_wait
+            while len(reqs) < self._batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    reqs.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            batch = np.zeros((self._batch_size,) + self._row_shape, np.float32)
+            lens = np.zeros((self._batch_size,), np.int32)
+            for i, r in enumerate(reqs):
+                batch[i] = r["inputs"]
+                lens[i] = r["len"]
+            try:
+                ids, n = self._infer(batch, lens)
+                ids, n = np.asarray(ids), np.asarray(n)
+                for i, r in enumerate(reqs):
+                    r["result"] = (ids[i], int(n[i]))
+            except Exception as e:  # surface device errors to every waiter
+                for r in reqs:
+                    r["error"] = e
+            for r in reqs:
+                r["done"].set()

@@ -1,0 +1,194 @@
+"""Streaming (online) recognition: chunked audio in, incremental tokens out.
+
+A TPU-first extension with no reference counterpart (the reference decoded
+whole utterances offline — SURVEY.md §3.3): audio arrives in fixed-size
+chunks and the recognizer emits CTC tokens incrementally with bounded
+latency. Everything is static-shaped and jittable, so a serving process
+compiles ONE chunk program and reuses it for the stream's lifetime — the
+same design contract as the frozen batch artifact (``serving.py``).
+
+Design:
+
+- **Framing carry.** Overlapping frames (25 ms window / 10 ms hop) straddle
+  chunk boundaries. The stream state holds the last ``K`` samples, where
+  ``K = hop * ceil((window - hop)/hop)`` (320 at 16 kHz) — sized so the
+  carried samples always start on a global hop boundary. Each step frames
+  ``concat(carry, chunk)`` with the SAME fused matmul frontend as offline
+  (``frontend.extract_features``), so streamed features are bit-identical
+  to offline features of the same samples. The initial zero-carry produces
+  ``K/hop`` garbage frames once; they are rolled off and never emitted.
+- **Encoder carry.** Unidirectional LSTM/GRU layers resume from carried
+  ``(h, c)`` via ``rnn_scan(initial_state=...)``; masked (pad) steps carry
+  state unchanged, so short final chunks leave the state at the true
+  stream end.
+- **Decode carry.** Greedy CTC collapse carries the previous frame's argmax
+  across chunks, so repeats spanning a boundary collapse exactly as the
+  offline decoder (``decoding/ctc_greedy.py``) would.
+
+Constraints (checked at build time): the acoustic frontend must be causal —
+no deltas (±2 future frames), no per-utterance CMVN (whole-utterance
+statistics), no frame stacking/splicing — and the encoder unidirectional
+(``encoder_type`` ``lstm`` or ``gru``). Batched streams advance in
+lockstep: every row receives full chunks until its stream ends (signal the
+end with ``chunk_len < chunk_samples``; afterwards feed zero-length chunks
+— ended rows emit nothing).
+
+Chunk size must be a multiple of the hop; per chunk of ``C`` samples the
+step emits at most ``C/hop`` frames of tokens.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .frontend import extract_features
+from .models.rnn import rnn_scan
+from .train.ctc_task import CTCTaskConfig
+
+
+class StreamState(NamedTuple):
+    sample_carry: jnp.ndarray  # [B, K] last samples (hop-aligned)
+    samples_seen: jnp.ndarray  # [B] valid samples fed so far
+    frame_base: jnp.ndarray  # [] global frame index of buffer frame 0
+    rnn_states: tuple  # per layer: (h, c) or (h,)
+    prev_id: jnp.ndarray  # [B] previous frame argmax (-1 before any frame)
+
+
+def _validate(task: CTCTaskConfig):
+    if not isinstance(task, CTCTaskConfig):
+        raise ValueError("streaming supports CTC tasks (attention decoders are "
+                         "not causal)")
+    fe = task.frontend
+    if fe is None:
+        raise ValueError("streaming needs the waveform frontend (precomputed-"
+                         "feature corpora are offline by definition)")
+    if fe.add_deltas:
+        raise ValueError("streaming frontend must be causal: set add_deltas "
+                         "false (deltas need future frames)")
+    if fe.cmvn != "none":
+        raise ValueError("per-utterance/per-speaker CMVN is not causal (or "
+                         "needs out-of-band stats); use cmvn: none for "
+                         "streaming models")
+    if task.num_stack != 1 or task.splice != 0:
+        raise ValueError("streaming v1 supports num_stack=1, splice=0")
+    enc = task.model.encoder
+    if enc.encoder_type not in ("lstm", "gru"):
+        raise ValueError(
+            f"streaming needs a unidirectional encoder (lstm/gru), got "
+            f"{enc.encoder_type!r}"
+        )
+    if task.model.num_classes_sub is not None:
+        raise ValueError("streaming decodes the main task only")
+
+
+def carry_samples(frontend) -> int:
+    """K: carried samples between chunks (hop-aligned window overlap)."""
+    length, step = frontend.frame_length, frontend.frame_step
+    if length <= step:
+        return 0
+    return step * (-(-(length - step) // step))
+
+
+def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
+    """Returns ``(init_fn, step_fn)``.
+
+    ``init_fn(batch_size)`` -> zeroed ``StreamState``.
+    ``step_fn(state, chunk [B, C], chunk_len [B])`` ->
+    ``(state, tokens [B, F] -1-padded, tok_len [B])`` with ``F = C/hop``;
+    jit it once and drive the stream. Token rows concatenated over chunks
+    equal the offline greedy decode of the concatenated audio.
+    """
+    _validate(task)
+    fe = task.frontend
+    cfg = task.model
+    enc_cfg = cfg.encoder
+    spec = enc_cfg.spec()
+    step_sz, length = fe.frame_step, fe.frame_length
+    if chunk_samples % step_sz != 0:
+        raise ValueError(
+            f"chunk_samples ({chunk_samples}) must be a multiple of the hop "
+            f"({step_sz})"
+        )
+    if chunk_samples + carry_samples(fe) < length:
+        raise ValueError("chunk too short: carry + chunk must cover one window")
+    k = carry_samples(fe)
+    f_out = chunk_samples // step_sz  # frames emitted per full chunk
+
+    def init_fn(batch_size: int) -> StreamState:
+        def layer_state(_):
+            h = jnp.zeros((batch_size, spec.out_dim), jnp.float32)
+            if spec.cell == "lstm":
+                return (h, jnp.zeros((batch_size, spec.num_units), jnp.float32))
+            return (h,)
+
+        return StreamState(
+            sample_carry=jnp.zeros((batch_size, k), jnp.float32),
+            samples_seen=jnp.zeros((batch_size,), jnp.int32),
+            # buffer frame 0 sits K samples before the stream start
+            frame_base=jnp.asarray(-(k // step_sz), jnp.int32),
+            rnn_states=tuple(layer_state(i) for i in range(enc_cfg.num_layers)),
+            prev_id=jnp.full((batch_size,), -1, jnp.int32),
+        )
+
+    from .models.ctc import _affine  # affine head shared with the batch path
+
+    def step_fn(state: StreamState, chunk, chunk_len):
+        chunk = jnp.asarray(chunk, jnp.float32)
+        chunk_len = jnp.asarray(chunk_len, jnp.int32)
+        buf = jnp.concatenate([state.sample_carry, chunk], axis=1)
+        feats, _ = extract_features(buf, k + chunk_len, fe)  # [B, Fb, D]
+        fb = feats.shape[1]
+
+        new_total = state.samples_seen + chunk_len
+        total_frames = jnp.maximum(0, 1 + (new_total - length) // step_sz)
+        emitted = jnp.maximum(state.frame_base, 0)
+        lead = jnp.maximum(0, -state.frame_base)  # initial zero-carry frames
+        feats = jnp.roll(feats, -lead, axis=1)
+        n_new = jnp.clip(total_frames - emitted, 0, fb)  # [B]
+
+        xs = feats
+        new_rnn = []
+        for layer, p in enumerate(params["encoder"]["layers"]):
+            xs, carry = rnn_scan(
+                p, spec, xs, n_new, initial_state=state.rnn_states[layer]
+            )
+            new_rnn.append(carry)
+        if cfg.bottleneck_dim:
+            xs = _affine(params["bottleneck"], xs)
+        logits = _affine(params["head"], xs)  # [B, Fb, C+1]
+
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        valid = jnp.arange(fb)[None, :] < n_new[:, None]
+        prev = jnp.concatenate([state.prev_id[:, None], ids[:, :-1]], axis=1)
+        keep = valid & (ids != prev) & (ids != cfg.blank_id)
+        pos = jnp.cumsum(keep, axis=1) - 1
+        pos = jnp.where(keep, pos, fb)
+
+        def compact(row_ids, row_pos):
+            return jnp.full((fb,), -1, row_ids.dtype).at[row_pos].set(
+                row_ids, mode="drop"
+            )
+
+        tokens = jax.vmap(compact)(ids, pos)
+        tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+        last = jnp.clip(n_new - 1, 0, fb - 1)
+        last_id = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]
+        new_prev = jnp.where(n_new > 0, last_id, state.prev_id)
+
+        new_state = StreamState(
+            sample_carry=buf[:, chunk_samples : chunk_samples + k],
+            samples_seen=new_total,
+            frame_base=state.frame_base + fb,
+            rnn_states=tuple(new_rnn),
+            prev_id=new_prev,
+        )
+        return new_state, tokens, tok_len
+
+    # K is sized so the buffer yields exactly C/hop frames per chunk (the
+    # leftover after consuming them is again exactly K samples)
+    assert (k + chunk_samples - length) // step_sz + 1 == f_out
+    return init_fn, step_fn

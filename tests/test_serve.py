@@ -1,0 +1,131 @@
+"""HTTP serving runtime: micro-batching server over a frozen artifact."""
+
+import http.client
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+from tensorflow_end2end_speech_recognition_tpu.serving import (
+    MicroBatcher,
+    build_inference_fn,
+    export_model,
+)
+from tensorflow_end2end_speech_recognition_tpu.train import ctc_task
+
+
+class _Units:
+    units = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+def _export_tiny(tmp_path, batch=3, num=4096):
+    task = ctc_task.CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="blstm", num_units=8, num_layers=1),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    params = ctc_task.init_params(jax.random.PRNGKey(0), task)
+    out = export_model(
+        task, ctc_task, params, tmp_path / "m.shlo", batch, num,
+        tokenizer=_Units(), extra_meta={"label_type": "phone61"},
+    )
+    return task, params, out
+
+
+def test_micro_batcher_partial_and_full_batches(tmp_path):
+    task, params, out = _export_tiny(tmp_path)
+    direct = build_inference_fn(task, ctc_task, params)
+    rng = np.random.RandomState(0)
+    waves = rng.randn(5, 4096).astype(np.float32) * 0.1
+    lens = np.asarray([4096, 2048, 4096, 3000, 4096], np.int32)
+
+    from tensorflow_end2end_speech_recognition_tpu.serving import load_exported
+
+    batcher = MicroBatcher(load_exported(out), 3, (4096,), max_wait_ms=50.0)
+    try:
+        # 5 concurrent requests against batch_size=3: one full + one partial batch
+        results = [None] * 5
+        def worker(i):
+            results[i] = batcher.submit(waves[i], int(lens[i]))
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # each row must equal the direct single-utterance result
+        for i in range(5):
+            one_ids, one_len = (
+                np.asarray(x)
+                for x in direct(
+                    jnp.asarray(np.tile(waves[i], (3, 1))),
+                    jnp.asarray(np.full((3,), lens[i], np.int32)),
+                )
+            )
+            got_ids, got_n = results[i]
+            assert got_n == int(one_len[0])
+            np.testing.assert_array_equal(got_ids, one_ids[0])
+    finally:
+        batcher.stop()
+
+
+def test_http_server_end_to_end(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.bin.serve import make_server
+
+    task, params, out = _export_tiny(tmp_path)
+    direct = build_inference_fn(task, ctc_task, params)
+    server = make_server(out, port=0, max_wait_ms=5.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok" and health["batch_size"] == 3
+
+        rng = np.random.RandomState(1)
+        wav = (rng.randn(3000) * 0.1).astype(np.float32)
+        # JSON request
+        conn.request(
+            "POST", "/recognize", json.dumps({"audio": wav.tolist()}),
+            {"Content-Type": "application/json"},
+        )
+        r1 = json.loads(conn.getresponse().read())
+        # raw float32 request (identical audio -> identical answer)
+        conn.request(
+            "POST", "/recognize", wav.tobytes(),
+            {"Content-Type": "application/octet-stream"},
+        )
+        r2 = json.loads(conn.getresponse().read())
+        assert r1 == r2
+        want_ids, want_len = (
+            np.asarray(x)
+            for x in direct(
+                jnp.asarray(np.tile(np.pad(wav, (0, 4096 - 3000)), (3, 1))),
+                jnp.asarray(np.full((3,), 3000, np.int32)),
+            )
+        )
+        assert r1["num_ids"] == int(want_len[0])
+        assert r1["ids"] == [int(i) for i in want_ids[0][: int(want_len[0])]]
+        units = _Units.units
+        assert r1["text"] == " ".join(units[i] for i in r1["ids"] if 0 <= i < 6)
+
+        # malformed request -> 400 with an error body, server stays up
+        conn.request(
+            "POST", "/recognize", json.dumps({"audio": [[1.0], [2.0]]}),
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 400 and "error" in json.loads(resp.read())
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+    finally:
+        server.shutdown()
+        server.batcher.stop()

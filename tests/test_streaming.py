@@ -1,0 +1,142 @@
+"""Streaming recognition: chunked output must equal the offline decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+from tensorflow_end2end_speech_recognition_tpu.streaming import (
+    build_streaming_fn,
+    carry_samples,
+)
+from tensorflow_end2end_speech_recognition_tpu.train import ctc_task
+
+
+def _task(cell="lstm"):
+    return ctc_task.CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type=cell, num_units=16, num_layers=2),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+
+
+def _offline(task, params, wav, wav_len):
+    from tensorflow_end2end_speech_recognition_tpu.decoding import ctc_greedy_decode
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import apply_ctc
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = apply_ctc(params, task.model, feats, fl)
+    return ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
+
+
+def _stream_all(task, params, wav, wav_len, chunk):
+    init_fn, step_fn = build_streaming_fn(task, params, chunk)
+    step_fn = jax.jit(step_fn)
+    b, n = wav.shape
+    state = init_fn(b)
+    toks = [[] for _ in range(b)]
+    n_chunks = -(-n // chunk)
+    wav_pad = np.pad(np.asarray(wav), ((0, 0), (0, n_chunks * chunk - n)))
+    for k in range(n_chunks):
+        lo = k * chunk
+        cl = np.clip(np.asarray(wav_len) - lo, 0, chunk).astype(np.int32)
+        state, tokens, tok_len = step_fn(
+            state, jnp.asarray(wav_pad[:, lo : lo + chunk]), jnp.asarray(cl)
+        )
+        tokens, tok_len = np.asarray(tokens), np.asarray(tok_len)
+        for i in range(b):
+            toks[i].extend(tokens[i, : tok_len[i]].tolist())
+    return toks
+
+
+@pytest.mark.parametrize("cell", ["lstm", "gru"])
+def test_streaming_equals_offline(cell):
+    task = _task(cell)
+    params = ctc_task.init_params(jax.random.PRNGKey(0), task)
+    rng = np.random.RandomState(0)
+    b, n = 3, 16000
+    wav = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    # row 1 and 2 end mid-stream (short final chunks in different chunks)
+    wav_len = jnp.asarray([n, 9600, 4640], jnp.int32)
+
+    want_ids, want_len = (np.asarray(x) for x in _offline(task, params, wav, wav_len))
+    got = _stream_all(task, params, wav, wav_len, chunk=3200)
+    for i in range(b):
+        assert got[i] == want_ids[i, : want_len[i]].tolist(), f"row {i}"
+
+
+def test_streaming_chunk_size_invariance():
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(1), task)
+    rng = np.random.RandomState(1)
+    wav = jnp.asarray(rng.randn(2, 12800).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([12800, 8000], jnp.int32)
+    a = _stream_all(task, params, wav, wav_len, chunk=1600)
+    c = _stream_all(task, params, wav, wav_len, chunk=6400)
+    assert a == c
+
+
+def test_streaming_validation_errors():
+    base = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(0), base)
+    with pytest.raises(ValueError, match="causal"):
+        build_streaming_fn(
+            base._replace(frontend=FrontendConfig(add_deltas=True, cmvn="none")),
+            params, 1600,
+        )
+    with pytest.raises(ValueError, match="CMVN"):
+        build_streaming_fn(
+            base._replace(frontend=FrontendConfig(add_deltas=False)), params, 1600
+        )
+    with pytest.raises(ValueError, match="unidirectional"):
+        build_streaming_fn(
+            base._replace(
+                model=base.model._replace(
+                    encoder=base.model.encoder._replace(encoder_type="blstm")
+                )
+            ),
+            params, 1600,
+        )
+    with pytest.raises(ValueError, match="multiple of the hop"):
+        build_streaming_fn(base, params, 1000)
+    with pytest.raises(ValueError, match="num_stack"):
+        build_streaming_fn(base._replace(num_stack=3, num_skip=3), params, 1600)
+
+
+def test_carry_samples():
+    fe = FrontendConfig()
+    assert carry_samples(fe) == 320  # 400-sample window, 160 hop
+
+
+def test_streaming_export_roundtrip(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.serving import (
+        export_streaming_model,
+        load_streaming,
+    )
+
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(2), task)
+    rng = np.random.RandomState(2)
+    b, chunk = 2, 3200
+    wav = jnp.asarray(rng.randn(b, 3 * chunk).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([3 * chunk, 2 * chunk - 800], jnp.int32)
+    want = _stream_all(task, params, wav, wav_len, chunk)
+
+    out = export_streaming_model(task, params, tmp_path / "s.shlo", b, chunk)
+    state, step = load_streaming(out)
+    got = [[] for _ in range(b)]
+    wav_np = np.asarray(wav)
+    for k in range(3):
+        lo = k * chunk
+        cl = np.clip(np.asarray(wav_len) - lo, 0, chunk).astype(np.int32)
+        state, tokens, tok_len = step(state, wav_np[:, lo : lo + chunk], cl)
+        tokens, tok_len = np.asarray(tokens), np.asarray(tok_len)
+        for i in range(b):
+            got[i].extend(tokens[i, : tok_len[i]].tolist())
+    assert got == want
