@@ -40,6 +40,11 @@ def main(argv=None):
     ap.add_argument("--beam-width", type=int, default=1)
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--platforms", nargs="*", default=None)
+    ap.add_argument("--streaming", action="store_true",
+                    help="export the chunked streaming step instead of the "
+                         "batch pipeline (causal configs only; streaming.py)")
+    ap.add_argument("--chunk-ms", type=float, default=100.0,
+                    help="streaming chunk duration")
     ap.add_argument("--selfcheck", action="store_true",
                     help="reload the artifact and run it on zeros")
     args = ap.parse_args(argv)
@@ -54,6 +59,31 @@ def main(argv=None):
         {"params": params}, args.epoch
     )
     params = state["params"]
+
+    if args.streaming:
+        from ..serving import export_streaming_model, load_streaming
+
+        hop = task.frontend.frame_step
+        chunk = max(hop, int(args.chunk_ms / 1000.0 * task.frontend.sample_rate))
+        chunk -= chunk % hop  # must be hop-aligned
+        out = export_streaming_model(
+            task, params, args.out_path, args.batch, chunk, tokenizer=tokenizer,
+            platforms=tuple(args.platforms) if args.platforms else None,
+            extra_meta={"label_type": exp.label_type,
+                        "sample_rate": task.frontend.sample_rate},
+        )
+        print(f"exported epoch-{epoch} streaming {exp.model_type}/"
+              f"{exp.encoder_type} chunk {chunk} samples -> {out} "
+              f"({out.stat().st_size / 1e6:.1f} MB)")
+        if args.selfcheck:
+            state, step = load_streaming(out)
+            zeros = np.zeros((args.batch, chunk), np.float32)
+            lens = np.full((args.batch,), chunk, np.int32)
+            state, tokens, n = step(state, zeros, lens)
+            state, tokens, n = step(state, zeros, lens)
+            print(f"selfcheck ok: tokens {np.asarray(tokens).shape}, "
+                  f"counts {np.asarray(n).tolist()}")
+        return
 
     if task.frontend is not None:
         num = int(args.seconds * task.frontend.sample_rate)

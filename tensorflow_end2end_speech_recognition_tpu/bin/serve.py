@@ -49,7 +49,13 @@ def make_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
 
     ``warmup`` dispatches one zero batch before the server accepts traffic,
     so no client request ever pays the artifact's first-dispatch compile
-    (minutes on a cold compile cache)."""
+    (minutes on a cold compile cache).
+
+    Batch artifacts get ``POST /recognize`` (micro-batched whole
+    utterances); streaming artifacts get the session API ``POST
+    /stream/start`` -> ``{"session": id}``, ``POST /stream/audio?session=``
+    (append audio, returns tokens emitted so far), ``POST
+    /stream/end?session=`` (flush + final tokens)."""
     import numpy as _np
 
     from ..serving import MicroBatcher, load_exported
@@ -58,6 +64,8 @@ def make_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
     meta = json.loads(
         artifact_path.with_suffix(artifact_path.suffix + ".json").read_text()
     )
+    if meta.get("streaming"):
+        return _make_stream_server(artifact_path, meta, host, port, warmup)
     infer = load_exported(artifact_path)
     num = meta["num_samples"]
     row_shape = (num,) if meta.get("input_rank", 2) == 2 else tuple(
@@ -126,6 +134,84 @@ def make_server(artifact_path, host: str = "127.0.0.1", port: int = 0,
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher
+    server.meta = meta
+    return server
+
+
+def _make_stream_server(artifact_path, meta, host, port, warmup) -> ThreadingHTTPServer:
+    """Session API over a frozen streaming artifact (``StreamingEngine``)."""
+    from ..serving import StreamingEngine, load_streaming
+
+    state0, step = load_streaming(artifact_path)
+    chunk = meta["chunk_samples"]
+    b = meta["batch_size"]
+    if warmup:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        _, _, n = step(state0, np.zeros((b, chunk), np.float32),
+                       np.zeros((b,), np.int32))
+        float(np.asarray(n).sum())
+        print(f"warmup: compiled + ran in {_time.perf_counter() - t0:.1f} s",
+              flush=True)
+    engine = StreamingEngine(state0, step, b, chunk)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **meta})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def _tokens_resp(self, toks):
+            resp = {"ids": toks}
+            text = _decode_text(toks, meta)
+            if text is not None:
+                resp["text"] = text
+            return resp
+
+        def do_POST(self):
+            from urllib.parse import parse_qs, urlparse
+
+            try:
+                url = urlparse(self.path)
+                raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                if url.path == "/stream/start":
+                    sid = engine.start()
+                    if sid is None:
+                        self._json(503, {"error": "all slots busy"})
+                    else:
+                        self._json(200, {"session": sid,
+                                         "chunk_samples": chunk})
+                    return
+                sid = parse_qs(url.query).get("session", [None])[0]
+                if url.path == "/stream/audio":
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("application/octet-stream"):
+                        audio = np.frombuffer(raw, np.float32)
+                    else:
+                        audio = np.asarray(json.loads(raw)["audio"], np.float32)
+                    self._json(200, self._tokens_resp(engine.feed(sid, audio)))
+                elif url.path == "/stream/end":
+                    self._json(200, self._tokens_resp(engine.end(sid)))
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = engine  # uniform shutdown handle (.stop())
     server.meta = meta
     return server
 

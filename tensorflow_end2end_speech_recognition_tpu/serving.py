@@ -239,6 +239,138 @@ def load_streaming(path: str | Path):
     return state0, step
 
 
+class StreamingEngine:
+    """Multiplex independent live audio sessions over a streaming program.
+
+    The streaming step advances all ``B`` batch rows at once; rows with
+    ``chunk_len == 0`` freeze bit-exactly (``streaming.py``), so each row is
+    a *slot* an independent session can own. Sessions buffer audio host-side;
+    a single worker thread dispatches one device step whenever any slot has
+    a full chunk buffered (or is flushing its final partial chunk), with all
+    device work serialized on that thread.
+
+    ``step`` is either the in-process jitted step or a frozen artifact's
+    (``load_streaming``); both take/return flat state leaves. Every leaf has
+    a leading batch dim, so slot reset is a row-select against the initial
+    state.
+    """
+
+    def __init__(self, state0_leaves, step, batch_size: int, chunk_samples: int,
+                 tick_ms: float = 5.0):
+        self._state0 = [jnp.asarray(x) for x in state0_leaves]
+        self._state = list(self._state0)
+        self._step = step
+        self._b = batch_size
+        self._chunk = chunk_samples
+        self._tick = tick_ms / 1e3
+        self._lock = threading.Lock()
+        self._slots = [None] * batch_size  # session dicts (or None)
+        self._sessions: dict[str, int] = {}
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- session API (thread-safe) ------------------------------------------
+
+    def start(self) -> str | None:
+        """Allocate a slot; returns a session id or None if all are busy."""
+        import uuid
+
+        with self._lock:
+            for i, s in enumerate(self._slots):
+                if s is None:
+                    sid = uuid.uuid4().hex[:12]
+                    self._slots[i] = {
+                        "id": sid, "buf": np.zeros((0,), np.float32),
+                        "pending": [], "ending": False, "reset": True,
+                        "flushed": threading.Event(),
+                    }
+                    self._sessions[sid] = i
+                    return sid
+        return None
+
+    def feed(self, sid: str, samples: np.ndarray) -> list:
+        """Append audio; returns tokens emitted since the last call."""
+        samples = np.asarray(samples, np.float32).ravel()
+        with self._lock:
+            slot = self._slots[self._sessions[sid]]
+            if slot["ending"]:
+                raise ValueError("session already ended")
+            slot["buf"] = np.concatenate([slot["buf"], samples])
+            out, slot["pending"] = slot["pending"], []
+        return out
+
+    def end(self, sid: str, timeout: float = 60.0) -> list:
+        """Flush remaining audio; returns the final tokens and frees the slot."""
+        with self._lock:
+            i = self._sessions[sid]
+            slot = self._slots[i]
+            slot["ending"] = True
+            ev = slot["flushed"]
+        if not ev.wait(timeout):
+            raise TimeoutError("stream flush timed out")
+        with self._lock:
+            out = slot["pending"]
+            self._slots[i] = None
+            del self._sessions[sid]
+        return out
+
+    def stop(self):
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    # -- worker --------------------------------------------------------------
+
+    def _run(self):
+        c = self._chunk
+        while not self._stop.is_set():
+            with self._lock:
+                resets = [i for i, s in enumerate(self._slots) if s and s["reset"]]
+                work = []
+                for i, s in enumerate(self._slots):
+                    if s is None or s["reset"]:
+                        continue
+                    if len(s["buf"]) >= c:
+                        work.append((i, s["buf"][:c], c))
+                        s["buf"] = s["buf"][c:]
+                    elif s["ending"] and not s["flushed"].is_set():
+                        work.append((i, s["buf"], len(s["buf"])))
+                        s["buf"] = np.zeros((0,), np.float32)
+                if resets:
+                    for i in resets:
+                        self._slots[i]["reset"] = False
+            if resets:
+                mask = np.zeros((self._b,), bool)
+                mask[resets] = True
+                jmask = jnp.asarray(mask)
+                self._state = [
+                    jnp.where(jmask.reshape((-1,) + (1,) * (o.ndim - 1)), f, o)
+                    for f, o in zip(self._state0, self._state)
+                ]
+            if not work:
+                time.sleep(self._tick)
+                continue
+            chunk = np.zeros((self._b, c), np.float32)
+            lens = np.zeros((self._b,), np.int32)
+            for i, data, n in work:
+                chunk[i, : len(data)] = data
+                lens[i] = n
+            state, toks, nn = self._step(self._state, chunk, lens)
+            self._state = list(state)
+            toks, nn = np.asarray(toks), np.asarray(nn)
+            with self._lock:
+                for i, _, n in work:
+                    s = self._slots[i]
+                    if s is None:
+                        continue
+                    s["pending"].extend(int(t) for t in toks[i, : nn[i]])
+                    if n < c and s["ending"]:
+                        s["flushed"].set()
+                    elif s["ending"] and len(s["buf"]) == 0 and n == c:
+                        # ended exactly on a chunk boundary: nothing to flush
+                        s["flushed"].set()
+
+
 class MicroBatcher:
     """Group concurrent single-utterance requests into fixed-shape batches.
 

@@ -28,10 +28,14 @@ Design:
 Constraints (checked at build time): the acoustic frontend must be causal —
 no deltas (±2 future frames), no per-utterance CMVN (whole-utterance
 statistics), no frame stacking/splicing — and the encoder unidirectional
-(``encoder_type`` ``lstm`` or ``gru``). Batched streams advance in
-lockstep: every row receives full chunks until its stream ends (signal the
-end with ``chunk_len < chunk_samples``; afterwards feed zero-length chunks
-— ended rows emit nothing).
+(``encoder_type`` ``lstm`` or ``gru``). Rows are fully independent: each
+row of a step receives either a FULL chunk (``chunk_len == chunk_samples``,
+stream continues), a partial/empty chunk (``chunk_len < chunk_samples`` =
+the stream's final samples — afterwards the row emits nothing), or
+``chunk_len == 0`` with the row *paused* (its state freezes bit-exactly, so
+a serving process can multiplex independent sessions over the batch slots
+and step whenever ANY session has a full chunk buffered). A new stream
+takes over a slot by resetting that row's state (``reset_rows``).
 
 Chunk size must be a multiple of the hop; per chunk of ``C`` samples the
 step emits at most ``C/hop`` frames of tokens.
@@ -52,7 +56,7 @@ from .train.ctc_task import CTCTaskConfig
 class StreamState(NamedTuple):
     sample_carry: jnp.ndarray  # [B, K] last samples (hop-aligned)
     samples_seen: jnp.ndarray  # [B] valid samples fed so far
-    frame_base: jnp.ndarray  # [] global frame index of buffer frame 0
+    frame_base: jnp.ndarray  # [B] global frame index of buffer frame 0
     rnn_states: tuple  # per layer: (h, c) or (h,)
     prev_id: jnp.ndarray  # [B] previous frame argmax (-1 before any frame)
 
@@ -82,6 +86,21 @@ def _validate(task: CTCTaskConfig):
         )
     if task.model.num_classes_sub is not None:
         raise ValueError("streaming decodes the main task only")
+
+
+def reset_rows(state: StreamState, fresh: StreamState, rows_mask) -> StreamState:
+    """Reset selected rows to a fresh stream start (slot reuse).
+
+    ``fresh`` is any state from ``init_fn`` (same batch size); ``rows_mask``
+    is a [B] bool mask of rows a new stream takes over. Every state leaf has
+    a leading batch dim, so this is a uniform per-row select.
+    """
+    m = jnp.asarray(rows_mask, bool)
+
+    def sel(f, o):
+        return jnp.where(m.reshape((-1,) + (1,) * (o.ndim - 1)), f, o)
+
+    return jax.tree.map(sel, fresh, state)
 
 
 def carry_samples(frontend) -> int:
@@ -128,7 +147,7 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
             sample_carry=jnp.zeros((batch_size, k), jnp.float32),
             samples_seen=jnp.zeros((batch_size,), jnp.int32),
             # buffer frame 0 sits K samples before the stream start
-            frame_base=jnp.asarray(-(k // step_sz), jnp.int32),
+            frame_base=jnp.full((batch_size,), -(k // step_sz), jnp.int32),
             rnn_states=tuple(layer_state(i) for i in range(enc_cfg.num_layers)),
             prev_id=jnp.full((batch_size,), -1, jnp.int32),
         )
@@ -142,11 +161,14 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
         feats, _ = extract_features(buf, k + chunk_len, fe)  # [B, Fb, D]
         fb = feats.shape[1]
 
+        active = chunk_len > 0  # rows with chunk_len == 0 are paused: freeze
         new_total = state.samples_seen + chunk_len
         total_frames = jnp.maximum(0, 1 + (new_total - length) // step_sz)
         emitted = jnp.maximum(state.frame_base, 0)
         lead = jnp.maximum(0, -state.frame_base)  # initial zero-carry frames
-        feats = jnp.roll(feats, -lead, axis=1)
+        # per-row shift-out of the zero-carry preamble (rows are independent)
+        idx = jnp.minimum(jnp.arange(fb)[None, :] + lead[:, None], fb - 1)
+        feats = jnp.take_along_axis(feats, idx[..., None], axis=1)
         n_new = jnp.clip(total_frames - emitted, 0, fb)  # [B]
 
         xs = feats
@@ -180,9 +202,14 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
         new_prev = jnp.where(n_new > 0, last_id, state.prev_id)
 
         new_state = StreamState(
-            sample_carry=buf[:, chunk_samples : chunk_samples + k],
+            # paused rows keep their carry and frame alignment bit-exactly
+            sample_carry=jnp.where(
+                active[:, None],
+                buf[:, chunk_samples : chunk_samples + k],
+                state.sample_carry,
+            ),
             samples_seen=new_total,
-            frame_base=state.frame_base + fb,
+            frame_base=jnp.where(active, state.frame_base + fb, state.frame_base),
             rnn_states=tuple(new_rnn),
             prev_id=new_prev,
         )

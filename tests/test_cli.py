@@ -140,3 +140,27 @@ def test_cli_export_selfcheck(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "exported" in out and "selfcheck ok" in out
     assert out_path.exists() and out_path.with_suffix(".shlo.json").exists()
+
+
+def test_cli_export_streaming(tmp_path, capsys):
+    import yaml
+
+    from tensorflow_end2end_speech_recognition_tpu.bin import export as export_bin, train
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(yaml.safe_dump(dict(
+        model_type="ctc", corpus="toy", label_type="phone61",
+        toy_num_utts=12, toy_vocab_size=5, use_delta=False, use_energy=False,
+        cmvn="none", encoder_type="lstm",
+        num_units=12, num_layers=1, batch_size=6, num_epoch=1, beam_width=1,
+    )))
+    mdir = tmp_path / "model"
+    train.main([str(cfg), str(mdir)])
+    capsys.readouterr()
+
+    out_path = tmp_path / "stream.shlo"
+    export_bin.main([str(mdir), str(out_path), "--batch", "2",
+                     "--streaming", "--chunk-ms", "200", "--selfcheck"])
+    out = capsys.readouterr().out
+    assert "exported" in out and "streaming" in out and "selfcheck ok" in out
+    assert out_path.exists() and out_path.with_suffix(".shlo.json").exists()

@@ -129,3 +129,102 @@ def test_http_server_end_to_end(tmp_path):
     finally:
         server.shutdown()
         server.batcher.stop()
+
+
+def test_http_streaming_sessions(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.bin.serve import make_server
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.serving import export_streaming_model
+
+    task = ctc_task.CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = ctc_task.init_params(jax.random.PRNGKey(3), task)
+    chunk = 1600
+    out = export_streaming_model(
+        task, params, tmp_path / "s.shlo", 2, chunk, tokenizer=_Units(),
+        extra_meta={"label_type": "phone61"},
+    )
+
+    # ground truth via the in-process streaming path
+    from tensorflow_end2end_speech_recognition_tpu.streaming import build_streaming_fn
+
+    rng = np.random.RandomState(4)
+    wavs = [
+        (rng.randn(3 * chunk + 700) * 0.3).astype(np.float32),  # partial tail
+        (rng.randn(2 * chunk) * 0.3).astype(np.float32),  # exact boundary
+    ]
+    want = []
+    init_fn, step_fn = build_streaming_fn(task, params, chunk)
+    for w in wavs:
+        state = init_fn(1)
+        toks = []
+        n_ch = -(-len(w) // chunk)
+        pad = np.pad(w, (0, n_ch * chunk - len(w)))
+        for k in range(n_ch):
+            cl = np.clip(len(w) - k * chunk, 0, chunk)
+            state, t, n = step_fn(
+                state, jnp.asarray(pad[None, k * chunk : (k + 1) * chunk]),
+                jnp.asarray([cl], np.int32),
+            )
+            toks.extend(np.asarray(t)[0, : int(np.asarray(n)[0])].tolist())
+        want.append(toks)
+
+    server = make_server(out, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conns = [http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                 for _ in range(2)]
+        sids = []
+        for c in conns:
+            c.request("POST", "/stream/start", b"")
+            r = json.loads(c.getresponse().read())
+            assert r["chunk_samples"] == chunk
+            sids.append(r["session"])
+        # a third session must be rejected: both slots busy
+        conns[0].request("POST", "/stream/start", b"")
+        assert conns[0].getresponse().status == 503
+
+        got = [[], []]
+        # interleave: session 0 sends thirds, session 1 sends halves
+        import time as _t
+
+        for part in np.array_split(wavs[0], 3):
+            conns[0].request("POST", "/stream/audio?session=" + sids[0],
+                             part.astype(np.float32).tobytes(),
+                             {"Content-Type": "application/octet-stream"})
+            got[0].extend(json.loads(conns[0].getresponse().read())["ids"])
+        for part in np.array_split(wavs[1], 2):
+            conns[1].request("POST", "/stream/audio?session=" + sids[1],
+                             part.astype(np.float32).tobytes(),
+                             {"Content-Type": "application/octet-stream"})
+            got[1].extend(json.loads(conns[1].getresponse().read())["ids"])
+        for i, c in enumerate(conns):
+            c.request("POST", "/stream/end?session=" + sids[i], b"")
+            r = json.loads(c.getresponse().read())
+            got[i].extend(r["ids"])
+        assert got[0] == want[0]
+        assert got[1] == want[1]
+
+        # freed slots: a new session starts fine and decodes wav[1] again
+        conns[0].request("POST", "/stream/start", b"")
+        sid = json.loads(conns[0].getresponse().read())["session"]
+        conns[0].request("POST", "/stream/audio?session=" + sid,
+                         wavs[1].tobytes(),
+                         {"Content-Type": "application/octet-stream"})
+        toks = json.loads(conns[0].getresponse().read())["ids"]
+        _t.sleep(0.3)  # let the worker drain the buffered chunks
+        conns[0].request("POST", "/stream/audio?session=" + sid, b"",
+                         {"Content-Type": "application/octet-stream"})
+        toks += json.loads(conns[0].getresponse().read())["ids"]
+        conns[0].request("POST", "/stream/end?session=" + sid, b"")
+        toks += json.loads(conns[0].getresponse().read())["ids"]
+        assert toks == want[1]
+    finally:
+        server.shutdown()
+        server.batcher.stop()

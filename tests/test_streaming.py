@@ -140,3 +140,57 @@ def test_streaming_export_roundtrip(tmp_path):
         for i in range(b):
             got[i].extend(tokens[i, : tok_len[i]].tolist())
     assert got == want
+
+
+def test_streaming_pause_resume_and_slot_reuse():
+    from tensorflow_end2end_speech_recognition_tpu.streaming import reset_rows
+
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(3), task)
+    rng = np.random.RandomState(3)
+    chunk = 1600
+    wav = rng.randn(2, 4 * chunk).astype(np.float32) * 0.3
+    wav_len = np.asarray([4 * chunk, 4 * chunk], np.int32)
+    want = _stream_all(task, params, jnp.asarray(wav), jnp.asarray(wav_len), chunk)
+
+    init_fn, step_fn = build_streaming_fn(task, params, chunk)
+    step_fn = jax.jit(step_fn)
+    state = init_fn(2)
+    got = [[], []]
+
+    def feed(k0, k1):
+        # row 0 feeds its chunk k0 (or pauses if None); row 1 its chunk k1
+        nonlocal state
+        ck = np.zeros((2, chunk), np.float32)
+        cl = np.zeros((2,), np.int32)
+        for row, kk in ((0, k0), (1, k1)):
+            if kk is not None:
+                ck[row] = wav[row, kk * chunk : (kk + 1) * chunk]
+                cl[row] = chunk
+        nstate, toks, n = step_fn(state, jnp.asarray(ck), jnp.asarray(cl))
+        state = nstate
+        toks, n = np.asarray(toks), np.asarray(n)
+        for row in (0, 1):
+            got[row].extend(toks[row, : n[row]].tolist())
+
+    # rows advance out of lockstep: row 1 pauses twice mid-stream
+    feed(0, 0)
+    feed(1, None)
+    feed(2, 1)
+    feed(3, None)
+    feed(None, 2)
+    feed(None, 3)
+    assert got == want
+
+    # slot reuse: reset row 0 and replay row 1's audio through it
+    state = reset_rows(state, init_fn(2), np.asarray([True, False]))
+    got0 = []
+    for k in range(4):
+        ck = np.zeros((2, chunk), np.float32)
+        ck[0] = wav[1, k * chunk : (k + 1) * chunk]
+        cl = np.asarray([chunk, 0], np.int32)
+        state, toks, n = step_fn(state, jnp.asarray(ck), jnp.asarray(cl))
+        toks, n = np.asarray(toks), np.asarray(n)
+        got0.extend(toks[0, : n[0]].tolist())
+        assert n[1] == 0  # the ended row stays silent
+    assert got0 == want[1]
