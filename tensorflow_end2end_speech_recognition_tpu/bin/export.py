@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--beam-width", type=int, default=1)
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--platforms", nargs="*", default=None)
+    ap.add_argument("--lm-dir", default=None,
+                    help="RNN-LM dir from bin.train_lm: bake shallow fusion "
+                         "into the beam-decode graph")
+    ap.add_argument("--lm-weight", type=float, default=0.3)
     ap.add_argument("--streaming", action="store_true",
                     help="export the chunked streaming step instead of the "
                          "batch pipeline (causal configs only; streaming.py)")
@@ -89,6 +93,11 @@ def main(argv=None):
         num = int(args.seconds * task.frontend.sample_rate)
     else:
         num = args.frames or 1200
+    lm = None
+    if args.lm_dir:
+        from .train_lm import load_lm
+
+        lm = load_lm(args.lm_dir)
     out = export_model(
         task, task_mod, params, args.out_path, args.batch, num,
         beam_width=args.beam_width, tokenizer=tokenizer,
@@ -96,6 +105,7 @@ def main(argv=None):
         extra_meta={"label_type": exp.label_type, "model_type": exp.model_type,
                     "sample_rate": task.frontend.sample_rate
                     if task.frontend is not None else None},
+        lm=lm, lm_weight=args.lm_weight,
     )
     size = out.stat().st_size
     print(f"exported epoch-{epoch} {exp.model_type}/{exp.encoder_type} "

@@ -32,13 +32,16 @@ import numpy as np
 from jax import export as jax_export
 
 
-def build_inference_fn(task, task_mod, params, beam_width: int = 1):
+def build_inference_fn(task, task_mod, params, beam_width: int = 1,
+                       lm=None, lm_weight: float = 0.0):
     """(inputs, input_len) -> (decoded ids [B, T'], lengths [B]).
 
     ``params`` are closed over: ``jax.export`` stages them into the artifact
     as constants. CTC models decode greedy or prefix-beam; attention models
-    decode greedy (or beam via ``attention_beam_search``). No loss is staged
-    — the graph is inference-only.
+    decode greedy (or beam via ``attention_beam_search``). ``lm`` =
+    ``(lm_params, LMConfig)`` stages RNN-LM shallow fusion into the beam
+    (carried per-slot state; the LM weights freeze into the artifact too).
+    No loss is staged — the graph is inference-only.
     """
     from .train.ctc_task import CTCTaskConfig, device_pipeline
 
@@ -46,12 +49,24 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1):
         from .decoding import ctc_greedy_decode, ctc_prefix_beam_search
         from .models.ctc import apply_ctc
 
+        fusion_lm = None
+        if lm is not None and lm_weight and beam_width > 1:
+            from .models.lm import make_fusion_lm
+
+            lm_params, lm_cfg = lm
+            fusion_lm = make_fusion_lm(
+                lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+                num_ctc_classes=task.model.vocab_with_blank,
+            )
+
         def infer(inputs, input_len):
             feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
             out = apply_ctc(params, task.model, feats, fl)
             if beam_width > 1:
                 p, l, _ = ctc_prefix_beam_search(
-                    out.logits, out.logit_len, task.model.blank_id, beam_width=beam_width
+                    out.logits, out.logit_len, task.model.blank_id,
+                    beam_width=beam_width, fusion_lm=fusion_lm,
+                    lm_weight=lm_weight,
                 )
                 return p[:, 0], l[:, 0]
             return ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
@@ -65,7 +80,12 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1):
         feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
         cfg = task.model
         if beam_width > 1:
-            res = attention_beam_search(params, cfg, feats, fl, beam_width=beam_width)
+            kwargs = {}
+            if lm is not None and lm_weight:
+                kwargs = {"lm_params": lm[0], "lm_cfg": lm[1],
+                          "lm_weight": lm_weight}
+            res = attention_beam_search(params, cfg, feats, fl,
+                                        beam_width=beam_width, **kwargs)
             return res.tokens[:, 0], res.lengths[:, 0]
         out = greedy_decode(params, cfg, feats, fl)
         preds = out.predicted_ids
@@ -86,6 +106,8 @@ def export_model(
     tokenizer=None,
     platforms: tuple | None = None,
     extra_meta: dict | None = None,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Path:
     """Freeze + serialize the inference graph; returns the artifact path.
 
@@ -93,8 +115,10 @@ def export_model(
     frames (precomputed-feature mode, where inputs are [B, T, D]).
     Writes ``<out>.json`` next to the artifact with the serving contract
     (shapes, units, blank id) so clients can decode without the framework.
+    ``lm=(lm_params, LMConfig)`` + ``lm_weight`` bake shallow fusion into
+    the beam-decode graph.
     """
-    infer = build_inference_fn(task, task_mod, params, beam_width)
+    infer = build_inference_fn(task, task_mod, params, beam_width, lm, lm_weight)
     if task.frontend is not None:
         in_spec = jax.ShapeDtypeStruct((batch_size, num_samples), jnp.float32)
     else:
@@ -112,6 +136,7 @@ def export_model(
         "input_rank": len(in_spec.shape),
         "feature_dim": None if task.frontend is not None else task.feature_dim,
         "beam_width": beam_width,
+        "lm_weight": lm_weight if lm is not None else 0.0,
         "platforms": list(exported.platforms),
         "blank_id": getattr(task.model, "blank_id", None),
         "units": list(getattr(tokenizer, "units", [])) if tokenizer else None,

@@ -50,6 +50,8 @@ class ExperimentConfig:
     num_heads: int = 4
     conv_kernel_size: int = 15
     ff_expansion: int = 4
+    compute_dtype: str = "float32"  # "bfloat16": encoder matmuls at 2x MXU
+    # rate with f32 accumulation (measured: a wash at d<=256, see BASELINE.md)
     use_peephole: bool = False
     clip_activation: float | None = None
     parameter_init: float = 0.1
@@ -178,6 +180,7 @@ class ExperimentConfig:
             num_heads=self.num_heads,
             conv_kernel_size=self.conv_kernel_size,
             ff_expansion=self.ff_expansion,
+            compute_dtype=self.compute_dtype,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:

@@ -276,3 +276,27 @@ def test_transformer_ctc_learns_toy_task():
     last = float(aux["loss"])
     assert np.isfinite(last)
     assert last < 0.6 * first, (first, last)
+
+
+def test_compute_dtype_bfloat16_from_yaml(tmp_path):
+    """`compute_dtype: bfloat16` reaches the encoder and produces f32 outputs."""
+    import yaml
+
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import (
+        apply_encoder,
+        init_encoder,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import ExperimentConfig
+
+    p = tmp_path / "c.yml"
+    p.write_text(yaml.safe_dump(dict(
+        model_type="ctc", encoder_type="conformer", num_units=16, num_layers=2,
+        num_heads=2, compute_dtype="bfloat16",
+    )))
+    cfg = ExperimentConfig.from_yaml(p).encoder_config()
+    assert cfg.compute_dtype == "bfloat16"
+    params = init_encoder(jax.random.PRNGKey(0), cfg, 8)
+    xs = jnp.asarray(np.random.RandomState(0).randn(2, 12, 8), jnp.float32)
+    out = apply_encoder(params, cfg, xs, jnp.asarray([12, 7]))
+    assert out.outputs.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out.outputs)).all()

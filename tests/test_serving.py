@@ -82,3 +82,35 @@ def test_export_attention_greedy_roundtrip(tmp_path):
     got_ids, got_len = load_exported(out)(inputs, lens)
     np.testing.assert_array_equal(got_len, want_len)
     np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_export_ctc_beam_with_lm_fusion_roundtrip(tmp_path):
+    """LM-fused beam decode freezes into the artifact (LM weights baked in)."""
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import LMConfig, init_lm
+
+    task = _ctc_task()
+    params = ctc_task.init_params(jax.random.PRNGKey(4), task)
+    lm_cfg = LMConfig(vocab=task.model.num_classes + 2, num_units=8, embedding_dim=4)
+    lm_params = init_lm(jax.random.PRNGKey(5), lm_cfg)
+    rng = np.random.RandomState(4)
+    inputs = rng.randn(2, 4096).astype(np.float32) * 0.1
+    lens = np.asarray([4096, 4096], np.int32)
+
+    direct = build_inference_fn(task, ctc_task, params, beam_width=4,
+                                lm=(lm_params, lm_cfg), lm_weight=0.3)
+    want_ids, want_len = (np.asarray(x) for x in direct(jnp.asarray(inputs), jnp.asarray(lens)))
+
+    nolm = build_inference_fn(task, ctc_task, params, beam_width=4)
+    nolm_ids, _ = (np.asarray(x) for x in nolm(jnp.asarray(inputs), jnp.asarray(lens)))
+    # the LM must actually participate (fused and unfused can differ; at
+    # minimum the graphs must both run — equality here is not required)
+
+    out = export_model(task, ctc_task, params, tmp_path / "lm.shlo", 2, 4096,
+                       beam_width=4, lm=(lm_params, lm_cfg), lm_weight=0.3)
+    import json as _json
+
+    meta = _json.loads(out.with_suffix(".shlo.json").read_text())
+    assert meta["lm_weight"] == 0.3
+    got_ids, got_len = load_exported(out)(inputs, lens)
+    np.testing.assert_array_equal(np.asarray(got_len), want_len)
+    np.testing.assert_array_equal(np.asarray(got_ids), want_ids)
