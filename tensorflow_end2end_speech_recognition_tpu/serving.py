@@ -319,6 +319,8 @@ class StreamingEngine:
         samples = np.asarray(samples, np.float32).ravel()
         with self._lock:
             slot = self._slots[self._sessions[sid]]
+            if slot.get("error") is not None:
+                raise slot["error"]
             if slot["ending"]:
                 raise ValueError("session already ended")
             slot["buf"] = np.concatenate([slot["buf"], samples])
@@ -336,8 +338,11 @@ class StreamingEngine:
             raise TimeoutError("stream flush timed out")
         with self._lock:
             out = slot["pending"]
+            err = slot.get("error")
             self._slots[i] = None
             del self._sessions[sid]
+        if err is not None:
+            raise err
         return out
 
     def stop(self):
@@ -380,9 +385,18 @@ class StreamingEngine:
             for i, data, n in work:
                 chunk[i, : len(data)] = data
                 lens[i] = n
-            state, toks, nn = self._step(self._state, chunk, lens)
-            self._state = list(state)
-            toks, nn = np.asarray(toks), np.asarray(nn)
+            try:
+                state, toks, nn = self._step(self._state, chunk, lens)
+                self._state = list(state)
+                toks, nn = np.asarray(toks), np.asarray(nn)
+            except Exception as e:  # device error: fail the sessions, stay up
+                with self._lock:
+                    for i, _, _ in work:
+                        s = self._slots[i]
+                        if s is not None:
+                            s["error"] = e
+                            s["flushed"].set()
+                continue
             with self._lock:
                 for i, _, n in work:
                     s = self._slots[i]

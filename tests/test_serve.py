@@ -228,3 +228,31 @@ def test_http_streaming_sessions(tmp_path):
     finally:
         server.shutdown()
         server.batcher.stop()
+
+
+def test_streaming_engine_surfaces_device_errors():
+    from tensorflow_end2end_speech_recognition_tpu.serving import StreamingEngine
+
+    calls = {"n": 0}
+
+    def bad_step(state, chunk, lens):
+        calls["n"] += 1
+        raise RuntimeError("device fell over")
+
+    eng = StreamingEngine([np.zeros((2, 4))], bad_step, 2, 1600, tick_ms=1.0)
+    try:
+        sid = eng.start()
+        eng.feed(sid, np.zeros((1600,), np.float32))
+        import pytest, time as _t
+
+        _t.sleep(0.3)  # let the worker hit the error
+        with pytest.raises(RuntimeError, match="fell over"):
+            eng.feed(sid, np.zeros((1,), np.float32))
+        # a fresh session on the freed... slot is still allocated; end() also raises
+        with pytest.raises(RuntimeError, match="fell over"):
+            eng.end(sid, timeout=5.0)
+        # the worker survived: another session's start still works
+        assert eng.start() is not None
+        assert calls["n"] >= 1
+    finally:
+        eng.stop()
