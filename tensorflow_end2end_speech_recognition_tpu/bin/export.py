@@ -67,6 +67,11 @@ def main(argv=None):
     if args.streaming:
         from ..serving import export_streaming_model, load_streaming
 
+        if task.frontend is None:
+            raise SystemExit(
+                "--streaming needs the waveform frontend; this model was "
+                "trained on precomputed features (data_root mode)"
+            )
         hop = task.frontend.frame_step
         chunk = max(hop, int(args.chunk_ms / 1000.0 * task.frontend.sample_rate))
         chunk -= chunk % hop  # must be hop-aligned

@@ -63,58 +63,33 @@ def parse_scp(path: str | Path):
     return rows
 
 
-def extract_batched(wavs: list[np.ndarray], frontend, batch: int):
-    """Raw frontend features (no CMVN) per utterance, device-batched.
+def extract_group(wavs: list[np.ndarray], fe):
+    """Raw frontend features (no CMVN) for one batch of waveforms.
 
-    Pads each batch to a whole second so XLA compiles a handful of shapes,
+    Pads the batch to a whole second so XLA compiles a handful of shapes,
     not one per utterance length.
     """
     import jax.numpy as jnp
 
     from ..frontend import extract_features
 
-    fe = frontend._replace(cmvn="none")
-    out = []
-    for lo in range(0, len(wavs), batch):
-        group = wavs[lo : lo + batch]
-        lens = np.asarray([len(w) for w in group], np.int32)
-        pad_to = max(
-            fe.frame_length,
-            -(-int(lens.max()) // fe.sample_rate) * fe.sample_rate,
-        )
-        mat = np.zeros((len(group), pad_to), np.float32)
-        for i, w in enumerate(group):
-            mat[i, : len(w)] = w
-        feats, flen = extract_features(jnp.asarray(mat), jnp.asarray(lens), fe)
-        feats, flen = np.asarray(feats), np.asarray(flen)
-        out.extend(feats[i, : flen[i]] for i in range(len(group)))
-    return out
+    lens = np.asarray([len(w) for w in wavs], np.int32)
+    pad_to = max(
+        fe.frame_length,
+        -(-int(lens.max()) // fe.sample_rate) * fe.sample_rate,
+    )
+    mat = np.zeros((len(wavs), pad_to), np.float32)
+    for i, w in enumerate(wavs):
+        mat[i, : len(w)] = w
+    feats, flen = extract_features(jnp.asarray(mat), jnp.asarray(lens), fe)
+    feats, flen = np.asarray(feats), np.asarray(flen)
+    return [feats[i, : flen[i]].astype(np.float32) for i in range(len(wavs))]
 
 
-def apply_cmvn(feats: list[np.ndarray], speakers: list, mode: str, var_norm=True):
-    """Offline CMVN exactly as the reference's preprocessing did it."""
-    if mode == "none":
-        return feats
-    if mode == "utterance":
-        out = []
-        for f in feats:
-            mu = f.mean(axis=0, keepdims=True)
-            sd = f.std(axis=0, keepdims=True) + 1e-8 if var_norm else 1.0
-            out.append(((f - mu) / sd).astype(np.float32))
-        return out
-    if mode == "speaker":
-        stats: dict = {}
-        for f, s in zip(feats, speakers):
-            n, su, sq = stats.get(s, (0, 0.0, 0.0))
-            stats[s] = (n + len(f), su + f.sum(axis=0), sq + (f**2).sum(axis=0))
-        norms = {}
-        for s, (n, su, sq) in stats.items():
-            mu = su / n
-            sd = np.sqrt(np.maximum(sq / n - mu**2, 0.0)) + 1e-8 if var_norm else 1.0
-            norms[s] = (mu, sd)
-        return [((f - norms[s][0]) / norms[s][1]).astype(np.float32)
-                for f, s in zip(feats, speakers)]
-    raise ValueError(f"unknown cmvn mode {mode!r}")
+def cmvn_utterance_np(f: np.ndarray, var_norm: bool = True) -> np.ndarray:
+    mu = f.mean(axis=0, keepdims=True)
+    sd = (f.std(axis=0, keepdims=True) + 1e-8) if var_norm else 1.0
+    return ((f - mu) / sd).astype(np.float32)
 
 
 def main(argv=None):
@@ -148,18 +123,47 @@ def main(argv=None):
     rows = parse_scp(args.wav_scp)
     if args.cmvn == "speaker" and any(s is None for _, _, s, _ in rows):
         raise ValueError("--cmvn speaker needs 4-column scp lines with speaker ids")
-    wavs = [read_wav(p, args.sample_rate) for _, p, _, _ in rows]
-    feats = extract_batched(wavs, fe, args.batch)
-    feats = apply_cmvn(feats, [s for _, _, s, _ in rows], args.cmvn)
 
     out = Path(args.out_root) / args.split
     (out / "feats").mkdir(parents=True, exist_ok=True)
-    lines = []
-    for (utt, _, spk, text), f in zip(rows, feats):
-        np.save(out / "feats" / f"{utt}.npy", f.astype(np.float32))
-        lines.append(f"{utt}\t{spk}\t{text}" if spk else f"{utt}\t{text}")
+
+    # Memory-bounded: only one batch of waveforms/features is resident at a
+    # time (real corpora are hundreds of hours). Per-utterance/none CMVN
+    # writes final features directly; per-speaker CMVN writes raw features
+    # while accumulating running speaker sums, then normalizes each file in
+    # a second pass.
+    spk_stats: dict = {}
+    dim = 0
+    for lo in range(0, len(rows), args.batch):
+        group = rows[lo : lo + args.batch]
+        wavs = [read_wav(p, args.sample_rate) for _, p, _, _ in group]
+        feats = extract_group(wavs, fe)
+        for (utt, _, spk, _), f in zip(group, feats):
+            if args.cmvn == "utterance":
+                f = cmvn_utterance_np(f)
+            elif args.cmvn == "speaker":
+                n, su, sq = spk_stats.get(spk, (0, 0.0, 0.0))
+                spk_stats[spk] = (
+                    n + len(f), su + f.sum(axis=0), sq + (f**2).sum(axis=0)
+                )
+            np.save(out / "feats" / f"{utt}.npy", f)
+            dim = f.shape[1]
+
+    if args.cmvn == "speaker":
+        norms = {}
+        for s, (n, su, sq) in spk_stats.items():
+            mu = su / n
+            sd = np.sqrt(np.maximum(sq / n - mu**2, 0.0)) + 1e-8
+            norms[s] = (mu, sd)
+        for utt, _, spk, _ in rows:
+            path = out / "feats" / f"{utt}.npy"
+            f = np.load(path)
+            mu, sd = norms[spk]
+            np.save(path, ((f - mu) / sd).astype(np.float32))
+
+    lines = [f"{utt}\t{spk}\t{text}" if spk else f"{utt}\t{text}"
+             for utt, _, spk, text in rows]
     (out / "transcripts.tsv").write_text("\n".join(lines) + "\n")
-    dim = feats[0].shape[1] if feats else 0
     print(f"prepared {len(rows)} utterances -> {out} (feature dim {dim}, "
           f"cmvn {args.cmvn})")
 

@@ -281,13 +281,14 @@ class StreamingEngine:
     """
 
     def __init__(self, state0_leaves, step, batch_size: int, chunk_samples: int,
-                 tick_ms: float = 5.0):
+                 tick_ms: float = 5.0, session_timeout_s: float = 300.0):
         self._state0 = [jnp.asarray(x) for x in state0_leaves]
         self._state = list(self._state0)
         self._step = step
         self._b = batch_size
         self._chunk = chunk_samples
         self._tick = tick_ms / 1e3
+        self._session_timeout = session_timeout_s
         self._lock = threading.Lock()
         self._slots = [None] * batch_size  # session dicts (or None)
         self._sessions: dict[str, int] = {}
@@ -308,7 +309,7 @@ class StreamingEngine:
                     self._slots[i] = {
                         "id": sid, "buf": np.zeros((0,), np.float32),
                         "pending": [], "ending": False, "reset": True,
-                        "flushed": threading.Event(),
+                        "flushed": threading.Event(), "last": time.monotonic(),
                     }
                     self._sessions[sid] = i
                     return sid
@@ -324,6 +325,7 @@ class StreamingEngine:
             if slot["ending"]:
                 raise ValueError("session already ended")
             slot["buf"] = np.concatenate([slot["buf"], samples])
+            slot["last"] = time.monotonic()
             out, slot["pending"] = slot["pending"], []
         return out
 
@@ -355,6 +357,14 @@ class StreamingEngine:
         c = self._chunk
         while not self._stop.is_set():
             with self._lock:
+                # reclaim slots abandoned without end(): a disconnected client
+                # must not leak its slot forever (batch_size leaks = total DoS)
+                now = time.monotonic()
+                for i, s in enumerate(self._slots):
+                    if (s is not None and not s["ending"]
+                            and now - s["last"] > self._session_timeout):
+                        del self._sessions[s["id"]]
+                        self._slots[i] = None
                 resets = [i for i, s in enumerate(self._slots) if s and s["reset"]]
                 work = []
                 for i, s in enumerate(self._slots):

@@ -76,8 +76,12 @@ def _validate(task: CTCTaskConfig):
         raise ValueError("per-utterance/per-speaker CMVN is not causal (or "
                          "needs out-of-band stats); use cmvn: none for "
                          "streaming models")
-    if task.num_stack != 1 or task.splice != 0:
-        raise ValueError("streaming v1 supports num_stack=1, splice=0")
+    if task.num_stack != 1 or task.num_skip != 1 or task.splice != 0:
+        raise ValueError(
+            "streaming v1 supports num_stack=1, num_skip=1, splice=0 (frame "
+            "stacking/subsampling/splicing would change the frame rate the "
+            "chunk step feeds the encoder)"
+        )
     enc = task.model.encoder
     if enc.encoder_type not in ("lstm", "gru"):
         raise ValueError(

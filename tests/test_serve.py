@@ -256,3 +256,44 @@ def test_streaming_engine_surfaces_device_errors():
         assert calls["n"] >= 1
     finally:
         eng.stop()
+
+
+def test_http_truncation_flag(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.bin.serve import make_server
+
+    task, params, out = _export_tiny(tmp_path)
+    server = make_server(out, port=0, max_wait_ms=5.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        wav = np.zeros(5000, np.float32)  # longer than the 4096 capacity
+        conn.request("POST", "/recognize", wav.tobytes(),
+                     {"Content-Type": "application/octet-stream"})
+        r = json.loads(conn.getresponse().read())
+        assert r["truncated"] is True and r["consumed"] == 4096
+    finally:
+        server.shutdown()
+        server.batcher.stop()
+
+
+def test_streaming_engine_reclaims_abandoned_sessions():
+    from tensorflow_end2end_speech_recognition_tpu.serving import StreamingEngine
+
+    def idle_step(state, chunk, lens):
+        return state, np.full((1, 4), -1, np.int32), np.zeros((1,), np.int32)
+
+    eng = StreamingEngine([np.zeros((1, 4))], idle_step, 1, 1600,
+                          tick_ms=1.0, session_timeout_s=0.2)
+    try:
+        import pytest, time as _t
+
+        sid = eng.start()
+        assert eng.start() is None  # single slot busy
+        _t.sleep(0.5)  # abandoned: no feed, no end
+        sid2 = eng.start()  # reclaimed
+        assert sid2 is not None
+        with pytest.raises(KeyError):
+            eng.feed(sid, np.zeros((1,), np.float32))
+    finally:
+        eng.stop()
