@@ -45,6 +45,23 @@ def _shift_right(x, fill=_NEG_INF, n=1):
     return jnp.pad(x[:, :-n], ((0, 0), (n, 0)), constant_values=fill)
 
 
+def pallas_ctc_fits(t: int, c: int, u: int) -> bool:
+    """Scoped-VMEM guard for the fused CTC kernel's per-utterance block.
+
+    The kernel holds ``t x c_pad`` (logits, lp, grad) and ``t x s_pad``
+    (alpha, lpz) panels plus the ``s_pad x c_pad`` one-hot in VMEM
+    (ops/pallas/ctc_kernel.py). Large vocabularies (CSJ kanji ~3k classes)
+    or very long unstacked utterances overflow the ~16 MB scoped budget —
+    which the remote TPU compiler reports as a hard compile-helper crash,
+    not an error (same failure class as the LSTM kernel at B>=64) — so
+    route oversized shapes to the lax.scan implementation.
+    """
+    c_pad = -(-c // 128) * 128
+    s_pad = -(-(2 * u + 1) // 128) * 128
+    vmem = 4 * (3 * t * c_pad + 2 * t * s_pad + s_pad * c_pad + s_pad)
+    return vmem <= 12 * 1024 * 1024
+
+
 def ctc_loss(
     logits: jnp.ndarray,  # [B, T, C] raw (pre-softmax), blank at blank_id
     logit_len: jnp.ndarray,  # [B]
@@ -65,7 +82,8 @@ def ctc_loss(
     if impl == "auto":
         import jax as _jax
 
-        impl = "pallas" if _jax.default_backend() == "tpu" else "scan"
+        fits = pallas_ctc_fits(logits.shape[1], c, labels.shape[1])
+        impl = "pallas" if (_jax.default_backend() == "tpu" and fits) else "scan"
     if impl == "optax":
         import optax
 

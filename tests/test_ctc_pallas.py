@@ -48,3 +48,15 @@ def test_pallas_repeated_labels_interpret():
     loss_p, _ = _ctc_fwd_impl(logits, lens, labels, llen, blank, interpret=True)
     loss_s = ctc_loss(logits, lens, labels, llen, blank, "scan")
     np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_s), rtol=1e-4)
+
+
+def test_pallas_ctc_vmem_fit_guard():
+    from tensorflow_end2end_speech_recognition_tpu.ops.ctc import pallas_ctc_fits
+
+    # flagship shapes comfortably fit
+    assert pallas_ctc_fits(400, 29, 40)
+    assert pallas_ctc_fits(1000, 29, 200)
+    # CSJ-kanji-scale vocab at long T overflows -> scan fallback
+    assert not pallas_ctc_fits(1000, 3000, 100)
+    # very long unstacked utterance with a long transcript
+    assert not pallas_ctc_fits(3000, 29, 400)
