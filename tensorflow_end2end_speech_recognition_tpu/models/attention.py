@@ -102,6 +102,20 @@ def attend(
         and not cfg.sigmoid_smoothing
         and jax.default_backend() == "tpu"
     ):
+        # scoped-VMEM fit guard (same crash class as the LSTM/CTC kernels:
+        # overflow hard-crashes the remote compile helper): the kernel holds
+        # [t, A] keys + [t, He] values per row in VMEM
+        rnd = lambda x: -(-x // 128) * 128
+        t_pad = rnd(enc_out.shape[1])
+        vmem = 4 * t_pad * (rnd(cfg.attention_dim) + rnd(enc_out.shape[2]) + 8)
+        if vmem > 12 * 1024 * 1024:
+            fused = False
+    if (
+        fused
+        and cfg.uses_location
+        and not cfg.sigmoid_smoothing
+        and jax.default_backend() == "tpu"
+    ):
         from ..ops.pallas.attention_kernel import location_attend_pallas
 
         keys_in = (
