@@ -6,6 +6,11 @@ Here batch assembly (C++ pad/gather in data/native.py + label packing)
 runs on a daemon thread ``depth`` batches ahead while the previous jitted
 step executes on the TPU; the C++ assembler releases the GIL, so the
 overlap is real. Exceptions from the producer re-raise at the consumer.
+
+If the consumer abandons the generator early (an exception in the train
+step, a break mid-epoch), generator close sets a stop flag the producer
+checks around its bounded ``put``, so the worker thread exits instead of
+blocking forever on a full queue holding feature batches.
 """
 
 from __future__ import annotations
@@ -20,21 +25,44 @@ def prefetch(iterable, depth: int = 2):
     """Iterate ``iterable`` with up to ``depth`` items prepared ahead."""
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer is gone
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # re-raised on the consumer side
             errors.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # drain so a worker blocked between the stop check and a full queue
+        # can finish its final put and exit
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

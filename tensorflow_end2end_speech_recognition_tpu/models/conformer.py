@@ -41,6 +41,19 @@ class ConformerSpec(NamedTuple):
     # f32 accumulation/residuals (unlike the LSTM, these are not latency-bound)
     block: str = "conformer"  # "conformer" (macaron+conv) | "transformer" (pre-LN)
 
+    def validate(self):
+        """Raise a clear config error instead of an opaque in-jit reshape."""
+        if self.dim % self.num_heads:
+            raise ValueError(
+                f"conformer dim {self.dim} must be divisible by num_heads "
+                f"{self.num_heads}"
+            )
+        if self.dim % 2:
+            raise ValueError(
+                f"conformer dim {self.dim} must be even (sinusoidal posenc "
+                f"pairs sin/cos channels)"
+            )
+
 
 def _xavier(key, fin, fout):
     s = jnp.sqrt(6.0 / (fin + fout))
@@ -153,6 +166,7 @@ def _conv_module(p, x, mask, spec: ConformerSpec):
 
 
 def init_conformer(key, spec: ConformerSpec, input_dim: int):
+    spec.validate()
     keys = jax.random.split(key, spec.num_layers + 1)
     layers = []
     for i in range(spec.num_layers):

@@ -131,21 +131,38 @@ def make_fusion_lm(params, cfg: LMConfig, sos_id: int, num_ctc_classes: int):
     return FusionLM(init=init, step=step)
 
 
-def lm_sequence_nll(params, cfg: LMConfig, tokens: jnp.ndarray, lengths: jnp.ndarray, sos_id: int):
-    """Teacher-forced NLL per sequence, [B] (for LM training / rescoring)."""
+def lm_sequence_nll(params, cfg: LMConfig, tokens: jnp.ndarray, lengths: jnp.ndarray,
+                    sos_id: int, eos_id: int | None = None):
+    """Teacher-forced NLL per sequence incl. the ``<eos>`` step, [B].
+
+    Targets are ``l1..lU, <eos>`` under inputs ``<sos>, l1..lU`` — the
+    ``<eos>`` step MUST be supervised: shallow fusion adds the LM's log-prob
+    over the full vocabulary including the eos column
+    (``decoding/attention_beam.py``), so an LM that never saw eos as a
+    target drives p(eos) to ~0 and systematically penalizes hypothesis
+    termination (over-long outputs growing with lm_weight); sequence
+    rescoring would be length-biased the same way.
+    """
+    if eos_id is None:
+        eos_id = sos_id + 1  # task convention: sos = vocab-2, eos = vocab-1
     b, u = tokens.shape
+    safe = jnp.where(tokens >= 0, tokens, 0)
     inputs = jnp.concatenate(
-        [jnp.full((b, 1), sos_id, tokens.dtype), jnp.where(tokens >= 0, tokens, 0)[:, :-1]],
-        axis=1,
-    )
+        [jnp.full((b, 1), sos_id, tokens.dtype), safe], axis=1
+    )  # [B, U+1]
 
     def body(state, tok):
         state, logp = lm_step(params, cfg, state, tok)
         return state, logp
 
     _, logps = jax.lax.scan(body, lm_init_state(cfg, b), inputs.swapaxes(0, 1))
-    logps = logps.swapaxes(0, 1)  # [B, U, V]
-    tgt = jnp.where(tokens >= 0, tokens, 0)
+    logps = logps.swapaxes(0, 1)  # [B, U+1, V]
+    idx = jnp.arange(u + 1)[None, :]
+    tgt = jnp.where(
+        idx < lengths[:, None],
+        jnp.pad(safe, ((0, 0), (0, 1))),
+        jnp.asarray(eos_id, tokens.dtype),
+    )
     nll = -jnp.take_along_axis(logps, tgt[..., None], axis=-1)[..., 0]
-    mask = (jnp.arange(u)[None, :] < lengths[:, None]).astype(jnp.float32)
+    mask = (idx <= lengths[:, None]).astype(jnp.float32)  # incl. the eos step
     return jnp.sum(nll * mask, axis=-1)

@@ -71,7 +71,19 @@ def global_device_batch(mesh, local_batch: dict, process_count: int | None = Non
     spec = batch_sharding(mesh)
     if n == 1:
         # single process owns every device: plain sharded transfer
+        # (same placement as parallel/mesh.py's shard_batch)
         return {k: jax.device_put(v, spec) for k, v in local_batch.items()}
+    # multi-process: every process must contribute addressable devices to
+    # the mesh, or make_array_from_process_local_data fails deep inside JAX
+    # (a mesh built from a prefix of jax.devices() covers host 0 only)
+    procs = {d.process_index for d in mesh.devices.flat}
+    if jax.process_index() not in procs or len(procs) != n:
+        raise ValueError(
+            f"mesh devices span processes {sorted(procs)} but there are {n} "
+            f"processes (this is process {jax.process_index()}): multi-host "
+            f"training needs a mesh over ALL processes' devices — build it "
+            f"from jax.devices() with num_devices = total chip count"
+        )
     return {
         k: jax.make_array_from_process_local_data(spec, v)
         for k, v in local_batch.items()

@@ -221,3 +221,41 @@ def test_short_final_batch_weights_and_weighted_loss():
     jb2 = {k: v[:2] for k, v in jb.items() if k != "weight"}
     loss_ref, _ = forward_loss(params, task, jb2, train=False)
     np.testing.assert_allclose(float(loss_w), float(loss_ref), rtol=1e-5)
+
+
+def test_prefetch_abandonment_does_not_leak_worker():
+    import threading
+    import time
+
+    from tensorflow_end2end_speech_recognition_tpu.data.prefetch import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons mid-stream
+    time.sleep(0.5)
+    # the producer must have stopped (bounded production, thread exited)
+    assert len(produced) < 20
+    assert threading.active_count() <= before + 1  # worker gone (or exiting)
+
+
+def test_prefetch_propagates_producer_error():
+    from tensorflow_end2end_speech_recognition_tpu.data.prefetch import prefetch
+
+    def gen():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer died"):
+        list(it)

@@ -27,14 +27,16 @@ def test_step_matches_sequence_nll():
     lengths = jnp.asarray([3])
     sos = cfg.vocab - 2
     nll = float(lm_sequence_nll(params, cfg, tokens, lengths, sos_id=sos)[0])
-    # manual: step through [sos, 1, 3], accumulate logp of 1, 3, 2
+    # manual: step through [sos, 1, 3, 2], accumulate logp of 1, 3, 2, <eos>
+    # (the eos step IS supervised — fusion reads the eos column)
     state = lm_init_state(cfg, 1)
     total = 0.0
     prev = jnp.asarray([sos])
-    for t in range(3):
+    targets = [1, 3, 2, cfg.vocab - 1]
+    for t in range(4):
         state, logp = lm_step(params, cfg, state, prev)
-        total -= float(logp[0, int(tokens[0, t])])
-        prev = tokens[:, t]
+        total -= float(logp[0, targets[t]])
+        prev = jnp.asarray([targets[t]])
     np.testing.assert_allclose(nll, total, rtol=1e-5)
 
 

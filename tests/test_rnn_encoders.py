@@ -300,3 +300,17 @@ def test_compute_dtype_bfloat16_from_yaml(tmp_path):
     out = apply_encoder(params, cfg, xs, jnp.asarray([12, 7]))
     assert out.outputs.dtype == jnp.float32
     assert np.isfinite(np.asarray(out.outputs)).all()
+
+
+def test_conformer_spec_validation():
+    import pytest
+
+    from tensorflow_end2end_speech_recognition_tpu.models.conformer import (
+        ConformerSpec,
+        init_conformer,
+    )
+
+    with pytest.raises(ValueError, match="divisible by num_heads"):
+        init_conformer(jax.random.PRNGKey(0), ConformerSpec(dim=300, num_heads=8), 8)
+    with pytest.raises(ValueError, match="even"):
+        init_conformer(jax.random.PRNGKey(0), ConformerSpec(dim=15, num_heads=3), 8)
