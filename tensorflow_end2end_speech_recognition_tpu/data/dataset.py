@@ -76,6 +76,13 @@ class Dataset:
         )
         label_lens = [len(u.label_ids) for u in self.utterances]
         self.label_ladder = bucket_ladder(label_lens, num_label_buckets, multiple=8)
+        # multitask sub labels get their own static ladder: per-batch-max
+        # padding would make every distinct sub width a fresh XLA program
+        # (remote compiles run 3-460 s — recompiles would dwarf training)
+        sub_lens = [len(u.sub_ids) for u in self.utterances if u.sub_ids is not None]
+        self.sub_label_ladder = (
+            bucket_ladder(sub_lens, num_label_buckets, multiple=8) if sub_lens else None
+        )
         self.num_batches = -(-len(self.utterances) // batch_size)
 
     def __len__(self):
@@ -125,7 +132,9 @@ class Dataset:
         label_len = np.zeros((b,), dtype=np.int32)
         has_sub = all_utts[0].sub_ids is not None
         if has_sub:
-            su_pad = -(-max(8, max(len(u.sub_ids) for u in all_utts)) // 8) * 8
+            su_pad = max(8, pad_to_ladder(
+                max(len(u.sub_ids) for u in all_utts), self.sub_label_ladder
+            ))
             labels_sub = np.full((b, su_pad), -1, dtype=np.int32)
             label_len_sub = np.zeros((b,), dtype=np.int32)
         names = []

@@ -46,7 +46,11 @@ def joint_rescore(
         result.ctc_logits, result.ctc_logit_len, result.tokens, result.lengths
     )  # [B, W]
 
-    joint = (1.0 - ctc_weight) * result.att_scores + ctc_weight * ctc_lp
+    # raw_scores = att + lm_weight*logP_lm from the beam (attention_beam.py),
+    # so the difference recovers the weighted LM term — it must survive the
+    # re-ranking (Hori et al.: (1-λ)·att + λ·ctc + β·lm), not be discarded
+    lm_term = result.raw_scores - result.att_scores
+    joint = (1.0 - ctc_weight) * result.att_scores + ctc_weight * ctc_lp + lm_term
     norm = ((5.0 + result.lengths.astype(jnp.float32)) / 6.0) ** length_penalty
     final = joint / jnp.maximum(norm, 1e-6)
     order = jnp.argsort(-final, axis=1)

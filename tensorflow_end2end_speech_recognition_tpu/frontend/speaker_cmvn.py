@@ -74,9 +74,13 @@ def compute_speaker_stats(
         g_sum += sums[s]
         g_sq += sqs[s]
         g_n += counts[s]
+    # GLOBAL_KEY must hold CORPUS-WIDE stats even when some utterances were
+    # accumulated under it (speakerless rows): unseen-speaker eval utterances
+    # fall back to it, and normalizing them with an arbitrary speakerless
+    # subset's statistics would produce off-scale features.
     for s in list(sums) + [GLOBAL_KEY]:
         total, sq, n = (
-            (sums[s], sqs[s], counts[s]) if s in sums else (g_sum, g_sq, g_n)
+            (g_sum, g_sq, g_n) if s == GLOBAL_KEY else (sums[s], sqs[s], counts[s])
         )
         mean = total / max(n, 1)
         var = np.maximum(sq / max(n, 1) - mean * mean, 0.0)

@@ -353,9 +353,15 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             n_utts += sum(1 for n in batch["names"] if n is not None)
             if step % log_every == 0:
                 losses.append(float(aux["loss"]))
-                print_fn(f"epoch {epoch} step {step} loss {losses[-1]:.4f} lr {lr:.2e}")
+                print_fn(f"epoch {epoch} step {step} loss {losses[-1]:.4f} lr {eff_lr:.2e}")
         epoch_time = time.perf_counter() - t0
-        dev = evaluate_ctc(eval_step, params, dev_ds, tokenizer, exp.label_type, epoch)
+        dev = evaluate_ctc(
+            eval_step, params, dev_ds, tokenizer, exp.label_type, epoch,
+            # eval batches take the same mesh placement as training batches
+            # so they are consistent with the params' sharding under DP
+            to_device=(lambda b: _to_device_batch(b, multitask, mesh))
+            if mesh is not None else None,
+        )
         ups = n_utts / epoch_time
         train_loss = float(np.mean(losses)) if losses else float(aux["loss"])
         print_fn(
@@ -363,7 +369,8 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             f"dev_err {dev['error_rate']:.4f} {ups:.1f} utts/s"
         )
         with open(csv_path, "a", newline="") as f:
-            csv.writer(f).writerow([epoch, step, train_loss, dev["loss"], dev["error_rate"], lr, ups])
+            # record the lr actually applied this step (warmup-scaled)
+            csv.writer(f).writerow([epoch, step, train_loss, dev["loss"], dev["error_rate"], eff_lr, ups])
         if dev["error_rate"] < best_dev:
             best_dev = dev["error_rate"]
         # controller advances first so the checkpointed state already

@@ -13,51 +13,69 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.tokenizers import PhoneTokenizer, Tokenizer
-from .edit_distance import compute_per, compute_wer
+from .edit_distance import compute_per
 
 
 def ids_to_tokens(ids, tokenizer: Tokenizer) -> list[str]:
     return tokenizer.decode([int(i) for i in ids])
 
 
-def score_pair(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
-    """Returns (edit_distance_numerator, ref_length_denominator)."""
+def scoring_tokens(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
+    """Scoring-unit token sequences + ref-length denominator.
+
+    The SINGLE place that maps label ids to the units errors are counted
+    over (fold TIMIT phones to 39, detokenize BPE to words, split chars) —
+    shared by ``score_pair`` and ``evaluate_ctc`` so the two paths cannot
+    drift apart.
+    """
     ref = ids_to_tokens(ref_ids, tokenizer)
     hyp = ids_to_tokens(hyp_ids, tokenizer)
     if label_type.startswith("phone") and isinstance(tokenizer, PhoneTokenizer):
         ref = tokenizer.fold_for_scoring(ref)
         hyp = tokenizer.fold_for_scoring(hyp)
-        err = compute_per(ref, hyp, normalize=False)
-        return err, max(len(ref), 1)
-    if label_type.startswith("word"):
-        err = compute_wer(" ".join(ref), " ".join(hyp), normalize=False)
-        return err, max(len(ref), 1)
-    if label_type.startswith("bpe"):
-        detok = lambda seq: "".join(seq).replace("▁", " ").strip()
-        ref_s, hyp_s = detok(ref), detok(hyp)
-        err = compute_wer(ref_s, hyp_s, normalize=False)
-        return err, max(len(ref_s.split()), 1)
-    # character-level: CER over the joined string
-    ref_s, hyp_s = "".join(ref), "".join(hyp)
-    from .edit_distance import compute_cer
-
-    return compute_cer(ref_s, hyp_s, normalize=False), max(len(ref_s), 1)
+    elif label_type.startswith("bpe"):
+        # subword units score as WER over the detokenized words
+        detok = lambda seq: "".join(seq).replace("▁", " ").split()
+        ref, hyp = detok(ref), detok(hyp)
+    elif not label_type.startswith("word"):
+        # character scoring: units are the characters of the joined string
+        ref = list("".join(ref))
+        hyp = list("".join(hyp))
+    return ref, hyp, max(len(ref), 1)
 
 
-def evaluate_ctc(eval_step, params, dataset, tokenizer: Tokenizer, label_type: str, epoch: int = 0):
+def score_pair(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
+    """Returns (edit_distance_numerator, ref_length_denominator)."""
+    ref, hyp, denom = scoring_tokens(ref_ids, hyp_ids, tokenizer, label_type)
+    return compute_per(ref, hyp, normalize=False), denom
+
+
+def evaluate_ctc(eval_step, params, dataset, tokenizer: Tokenizer, label_type: str,
+                 epoch: int = 0, to_device=None):
     """Run decode over a dataset; returns error rate, loss, and S/I/D counts.
 
     The substitution/insertion/deletion decomposition mirrors the reference's
     ``wer_align`` reporting and uses the C++ batched Levenshtein.
+
+    ``to_device``: optional batch-placement hook — a DP training loop passes
+    its mesh-sharded placement so eval batches match the params' sharding.
+    (Pod-scale multi-process eval would additionally need per-process row
+    slicing + result allreduce; with ``num_devices`` targeting a single
+    process today, each process evaluating the full set is correct.)
     """
     from ..data.native import levenshtein_batch
 
     refs, hyps, losses = [], [], []
     ref_tok_lens = []
     for batch in dataset.batches(epoch):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
+        if to_device is not None:
+            jbatch = to_device(batch)
+        else:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
         decoded, dec_len, nll = eval_step(params, jbatch)
-        decoded, dec_len = np.asarray(decoded), np.asarray(dec_len)
+        # one fetch per batch: per-row float(nll[i]) would be a blocking
+        # device round trip per utterance on the remote backend
+        decoded, dec_len, nll = (np.asarray(x) for x in (decoded, dec_len, nll))
         for i, name in enumerate(batch["names"]):
             if name is None:  # batch filler
                 continue
@@ -81,20 +99,8 @@ def evaluate_ctc(eval_step, params, dataset, tokenizer: Tokenizer, label_type: s
 
 
 def _scoring_tokens(ref_ids, hyp_ids, tokenizer: Tokenizer, label_type: str):
-    """Integerized scoring-unit sequences + ref length denominator."""
-    ref = ids_to_tokens(ref_ids, tokenizer)
-    hyp = ids_to_tokens(hyp_ids, tokenizer)
-    if label_type.startswith("phone") and isinstance(tokenizer, PhoneTokenizer):
-        ref = tokenizer.fold_for_scoring(ref)
-        hyp = tokenizer.fold_for_scoring(hyp)
-    elif label_type.startswith("bpe"):
-        # subword units score as WER over the detokenized words
-        detok = lambda seq: "".join(seq).replace("▁", " ").split()
-        ref, hyp = detok(ref), detok(hyp)
-    elif not label_type.startswith("word"):
-        # character scoring: units are the characters of the joined string
-        ref = list("".join(ref))
-        hyp = list("".join(hyp))
+    """Integerized scoring-unit sequences (for the C++ batched Levenshtein)."""
+    ref, hyp, denom = scoring_tokens(ref_ids, hyp_ids, tokenizer, label_type)
     vocab = {}
     enc = lambda seq: [vocab.setdefault(t, len(vocab)) for t in seq]
-    return enc(ref), enc(hyp), max(len(ref), 1)
+    return enc(ref), enc(hyp), denom
