@@ -307,6 +307,15 @@ def apply_encoder(
         x = _split_freq_channels(xs, cfg.input_channels)
         xs, lengths = _apply_vgg(params["vgg"], x, lengths)
 
+    # Long-sequence robustness: multi-kernel programs over T>~800 inputs
+    # fault the remote TPU worker/compiler even though each kernel compiles
+    # and runs alone (measured: 5-layer pyramid at T=1198 faults both as
+    # all-Pallas and as mixed scan+Pallas; the all-scan program is fine;
+    # the T=400 flagship stack is fine) — so the WHOLE stack rides the
+    # lax.scan path (0.77x the kernel) when the input is that long.
+    if xs.shape[1] > 800 and spec.impl == "auto":
+        spec = spec._replace(impl="scan")
+
     sub_outputs = sub_lengths = None
     for layer, p in enumerate(params["layers"]):
         if cfg.bidirectional:

@@ -174,7 +174,7 @@ def rnn_scan(
     if use_pallas and spec.pallas_eligible:
         from ..ops.pallas.lstm_kernel import lstm_layer_pallas, pallas_fits
 
-        if jax.default_backend() == "tpu" and not pallas_fits(b, spec.num_units):
+        if jax.default_backend() == "tpu" and not pallas_fits(b, spec.num_units, t):
             use_pallas = False  # scoped VMEM won't fit — fall through to scan
     if use_pallas and spec.pallas_eligible:
         ys = lstm_layer_pallas(
@@ -258,7 +258,7 @@ def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
         from ..ops.pallas.lstm_kernel import pallas_fits
 
         if jax.default_backend() == "tpu" and not pallas_fits(
-            xs.shape[0], spec.num_units
+            xs.shape[0], spec.num_units, xs.shape[1]
         ):
             use_pallas = False  # scoped VMEM won't fit — two-scan path instead
     if use_pallas and spec.pallas_eligible:

@@ -165,13 +165,23 @@ def _scale_kt(base: int, t: int, b: int, h: int) -> int:
     return max(1, min(base, (base * _ANCHOR_ROWS) // max(b * h, 1), t))
 
 
-def pallas_fits(b: int, h: int) -> bool:
+def pallas_fits(b: int, h: int, t: int | None = None) -> bool:
     """True if the layer kernels fit scoped VMEM at these shapes.
 
     The binding constraints are the backward kernels at kt=1 (streams scale
     with b*h; anchor kt=4 at b*h=32*512) and the VMEM-resident [H, 4H]
     weights (4 MB each at H=512; the bidirectional kernels hold two).
+
+    The sequence-length cap is empirical: a single layer compiles and runs
+    at T=1198, but a multi-layer BACKWARD program combining two bidi
+    kernels at T>~800 hard-crashes the remote compile helper (measured:
+    2-layer pyramidal grad OK at T=800, crash at T=1198, while the 5-layer
+    T=400 flagship is fine) — per-layer T<=800 keeps every measured
+    composition inside the compiler's envelope; longer sequences ride the
+    lax.scan path (0.77x the kernel's rate).
     """
+    if t is not None and t > 800:
+        return False
     return b * h <= 4 * _ANCHOR_ROWS and h <= 512
 
 
