@@ -271,6 +271,9 @@ def apply_encoder(
     lengths: jnp.ndarray,  # [B]
     train: bool = False,
     rng: jax.Array | None = None,
+    pallas_t_cap: int = 800,  # input length beyond which the LSTM stack
+    # rides lax.scan (see the long-sequence note below); attention models
+    # pass a lower cap because their decoder backward composes on top
 ) -> EncoderOutput:
     spec = cfg.spec()
     drop_keys = (
@@ -307,13 +310,15 @@ def apply_encoder(
         x = _split_freq_channels(xs, cfg.input_channels)
         xs, lengths = _apply_vgg(params["vgg"], x, lengths)
 
-    # Long-sequence robustness: multi-kernel programs over T>~800 inputs
+    # Long-sequence robustness: multi-kernel programs over long inputs
     # fault the remote TPU worker/compiler even though each kernel compiles
     # and runs alone (measured: 5-layer pyramid at T=1198 faults both as
-    # all-Pallas and as mixed scan+Pallas; the all-scan program is fine;
-    # the T=400 flagship stack is fine) — so the WHOLE stack rides the
-    # lax.scan path (0.77x the kernel) when the input is that long.
-    if xs.shape[1] > 800 and spec.impl == "auto":
+    # all-Pallas and as mixed scan+Pallas; a joint attention model's FULL
+    # backward crashes the compiler already at T=400 with Pallas encoder
+    # kernels but compiles all-scan; the T=400 CTC flagship stack is fine)
+    # — so the WHOLE stack rides the lax.scan path (0.77x the kernel) when
+    # the input exceeds the caller's measured-safe cap.
+    if xs.shape[1] > pallas_t_cap and spec.impl == "auto":
         spec = spec._replace(impl="scan")
 
     sub_outputs = sub_lengths = None

@@ -135,7 +135,12 @@ def _init_decoder_carry(cfg: Seq2SeqConfig, enc_out):
 
 
 def encode(params, cfg: Seq2SeqConfig, feats, feat_len, train=False, rng=None):
-    enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng)
+    # pallas_t_cap=200: the attention-decoder backward composed with Pallas
+    # encoder kernels crashes the remote compiler already at T=400 (the
+    # all-scan program compiles and runs; toy-scale T<=200 compositions are
+    # fine with the kernels) — BASELINE.md long-sequence notes
+    enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng,
+                        pallas_t_cap=200)
     ctc_logits = ctc_len = None
     if cfg.is_joint:
         ctc_logits = (

@@ -87,3 +87,30 @@ def test_joint_rescoring_reranks():
         a = {tuple(np.asarray(r.tokens[i, j])) for j in range(4)}
         bset = {tuple(np.asarray(rr.tokens[i, j])) for j in range(4)}
         assert a == bset
+
+
+def test_joint_rescore_keeps_lm_term():
+    """The shallow-fusion LM contribution (raw - att) must survive re-ranking."""
+    import numpy as np
+
+    from tensorflow_end2end_speech_recognition_tpu.decoding.attention_beam import (
+        BeamSearchResult,
+    )
+
+    b, w, u, t, c = 1, 2, 3, 6, 5
+    rng = np.random.RandomState(0)
+    # identical hypotheses -> identical CTC and attention scores; only the
+    # LM term differs, so it alone must decide the ranking
+    tok = np.tile(np.asarray([[0, 1, 2]], np.int32), (w, 1))[None]
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    att = jnp.asarray([[-5.0, -5.0]])
+    raw = jnp.asarray([[-6.0, -4.0]])  # beam 1 has the better LM score
+    res = BeamSearchResult(
+        tokens=jnp.asarray(tok), lengths=jnp.full((b, w), u, jnp.int32),
+        scores=raw, raw_scores=raw, att_scores=att,
+        ctc_logits=logits, ctc_logit_len=jnp.full((b,), t, jnp.int32),
+    )
+    rr = joint_rescore(res, ctc_weight=0.3, blank_id=c - 1)
+    # beam with the better LM term must rank first
+    assert float(rr.raw_scores[0, 0]) == -4.0
+    assert float(rr.scores[0, 0]) > float(rr.scores[0, 1])
