@@ -76,6 +76,10 @@ def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
     exp = ExperimentConfig.from_yaml(cfg_path)
     exp = dataclasses.replace(exp, num_epoch=epochs, toy_num_utts=utts)
     mdir = out_root / cfg_path.stem
+    if mdir.exists():  # fresh measurement: never resume a previous sweep's run
+        import shutil
+
+        shutil.rmtree(mdir)
     summary = fit(exp, mdir, print_fn=lambda *a: None)
 
     _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp)

@@ -117,9 +117,19 @@ class CharTokenizer(Tokenizer):
 
     def encode_text(self, text: str) -> list[int]:
         if self.capital_divide:
+            # word boundary = capitalized first LETTER (the reference's
+            # character_capital_divide scheme). Words whose first character
+            # has no uppercase form (digits/symbols) carry the marker on
+            # their first letter instead, so boundaries survive inputs like
+            # "4th" — without this the words would merge on decode.
             toks = []
             for word in text.lower().split():
-                toks.extend([word[0].upper()] + list(word[1:]))
+                chars = list(word)
+                for i, c in enumerate(chars):
+                    if c.upper() != c:  # first capitalizable char marks it
+                        chars[i] = c.upper()
+                        break
+                toks.extend(chars)
             return self.encode([t for t in toks if t in self.unit_to_idx])
         text = text.lower()
         return self.encode([c for c in text if c in self.unit_to_idx])
@@ -187,6 +197,20 @@ class WordTokenizer(Tokenizer):
         return " ".join(self.decode(ids))
 
 
+def _apply_merge(sym: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right BPE pair merge — the SINGLE implementation shared
+    by vocabulary learning and encode-time replay (they must stay in sync)."""
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
 class BPETokenizer(Tokenizer):
     """Byte-pair-encoding subword units learned from corpus text.
 
@@ -222,17 +246,8 @@ class BPETokenizer(Tokenizer):
             if n < 2:
                 break
             merges.append((a, b))
-            merged = a + b
             for w, sym in vocab.items():
-                out, i = [], 0
-                while i < len(sym):
-                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(sym[i])
-                        i += 1
-                vocab[w] = out
+                vocab[w] = _apply_merge(sym, a, b)
         units = sorted(set(base_units) | {a + b for a, b in merges})
         self.merges = merges
         self.unk = "<unk>"
@@ -244,15 +259,7 @@ class BPETokenizer(Tokenizer):
     def _encode_word(self, word: str) -> list[str]:
         sym = list(self.WB + word)
         for a, b in self.merges:  # replay merges in learned order
-            out, i = [], 0
-            while i < len(sym):
-                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(sym[i])
-                    i += 1
-            sym = out
+            sym = _apply_merge(sym, a, b)
         return sym
 
     def encode_text(self, text: str) -> list[int]:
@@ -267,9 +274,18 @@ class BPETokenizer(Tokenizer):
 
 
 def load_unit_file(path: str) -> Tokenizer:
-    """Generic inventory from a text file, one unit per line (CSJ kana/kanji)."""
-    with open(path) as f:
-        units = [line.rstrip("\n") for line in f if line.strip()]
+    """Generic inventory from a text file, one unit per line (CSJ kana/kanji).
+
+    Only the line terminator is stripped (``\\n`` / ``\\r\\n``): a
+    whitespace unit line (e.g. the space character in a character
+    inventory) is a VALID unit — filtering it would silently shift every
+    subsequent unit id and corrupt all encodes for the corpus. Only fully
+    empty lines are skipped.
+    """
+    with open(path, newline="") as f:
+        units = [
+            line.rstrip("\r\n") for line in f if line.rstrip("\r\n") != ""
+        ]
     return Tokenizer(units)
 
 

@@ -206,7 +206,11 @@ def ctc_prefix_beam_search(
             state.prefixes, sel_parent[..., None], axis=1
         )
         new_len = parent_gather(state.lengths)
-        is_ext = sel_char >= 0
+        # a starved beam can select a masked (_NEG) extension of a
+        # full-length prefix; the char write below already misses (no
+        # position == l_max), so the length must not advance either or
+        # lengths would disagree with the prefix contents
+        is_ext = (sel_char >= 0) & (new_len < l_max)
         # write the new char at position len for extension candidates
         one_hot_pos = (
             jnp.arange(l_max)[None, None, :] == new_len[..., None]

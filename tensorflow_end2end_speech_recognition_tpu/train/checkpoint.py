@@ -24,11 +24,27 @@ ITEMS = ("params", "extra")
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
+        from orbax.checkpoint import checkpoint_managers as ocp_cm
+
+        # Keep the best N on dev error AND always the latest: plain
+        # max_to_keep+best_fn deletes the newest checkpoint whenever it is
+        # not among the best (verified against orbax 0.11), so after a
+        # crash during a dev plateau the latest-epoch resume would restore
+        # a stale epoch and silently re-train the plateaued tail.
+        policy = ocp_cm.AnyPreservationPolicy([
+            ocp_cm.LatestN(1),
+            ocp_cm.BestN(
+                get_metric_fn=lambda m: m["dev_error_rate"],
+                reverse=True,  # ascending sort keeps the LARGEST; reverse
+                # keeps the n smallest error rates ("min" semantics)
+                n=max_to_keep,
+            ),
+        ])
         self._mngr = ocp.CheckpointManager(
             Path(directory).absolute(),
             item_names=ITEMS,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
+                preservation_policy=policy,
                 best_fn=lambda m: m["dev_error_rate"],
                 best_mode="min",
             ),

@@ -284,7 +284,11 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     lr = controller.lr
     step = 0
     best_dev = float("inf")
+    # a fully-trained dir resumed past its last epoch skips the loop: keep
+    # the previous run's summary instead of returning an empty dict
     summary = {}
+    if (Path(model_dir) / "summary.json").exists():
+        summary = json.loads((Path(model_dir) / "summary.json").read_text())
     start_epoch = 0
     mesh = None
     if exp.num_devices and exp.num_devices > 1:

@@ -259,3 +259,21 @@ def test_prefetch_propagates_producer_error():
 
     with pytest.raises(RuntimeError, match="producer died"):
         list(it)
+
+
+def test_unit_file_preserves_space_units_and_crlf(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import load_unit_file
+
+    p = tmp_path / "units.txt"
+    p.write_bytes(b"a\r\n \r\nb\r\n")  # CRLF file with a space unit
+    tok = load_unit_file(str(p))
+    assert tok.units == ["a", " ", "b"]  # space kept, no \r residue
+
+
+def test_capital_divide_nonletter_initial_words_round_trip():
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import CharTokenizer
+
+    tok = CharTokenizer(capital_divide=True)
+    ids = tok.encode_text("go 4th now")
+    # '4' is not in the inventory; the boundary marker lands on 't'
+    assert tok.decode_text(ids) == "go th now"
