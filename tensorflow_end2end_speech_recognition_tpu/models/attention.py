@@ -96,25 +96,21 @@ def attend(
     fused: bool = False,  # inference-only Pallas kernel (no grad defined)
 ):
     """One attention read. Returns (context [B, He], align [B, T])."""
-    if (
-        fused
-        and cfg.uses_location
-        and not cfg.sigmoid_smoothing
-        and jax.default_backend() == "tpu"
-    ):
+    def _fused_fits():
         # scoped-VMEM fit guard (same crash class as the LSTM/CTC kernels:
         # overflow hard-crashes the remote compile helper): the kernel holds
         # [t, A] keys + [t, He] values per row in VMEM
         rnd = lambda x: -(-x // 128) * 128
         t_pad = rnd(enc_out.shape[1])
         vmem = 4 * t_pad * (rnd(cfg.attention_dim) + rnd(enc_out.shape[2]) + 8)
-        if vmem > 12 * 1024 * 1024:
-            fused = False
+        return vmem <= 12 * 1024 * 1024
+
     if (
         fused
         and cfg.uses_location
         and not cfg.sigmoid_smoothing
         and jax.default_backend() == "tpu"
+        and _fused_fits()
     ):
         from ..ops.pallas.attention_kernel import location_attend_pallas
 

@@ -23,9 +23,11 @@ class CTCConfig(NamedTuple):
     encoder: EncoderConfig = EncoderConfig()
     num_classes: int = 61  # real units; blank is index num_classes
     bottleneck_dim: int | None = None
-    # multitask (hierarchical) CTC head: sub-task classes + loss mix
+    # multitask (hierarchical) CTC head: sub-task classes. The loss mix
+    # lives on the TASK config (train/ctc_task.py main_task_weight) — the
+    # single place forward_loss reads; a duplicate field here was dead and
+    # silently ignored when set.
     num_classes_sub: int | None = None
-    main_task_weight: float = 0.8
 
     @property
     def vocab_with_blank(self) -> int:

@@ -131,6 +131,14 @@ def _gru_step(spec: RNNSpec, params, carry, xproj_t, mask_t):
     return (h,), jnp.where(mask_t, h, 0.0)
 
 
+def _flip_valid(x, lengths):
+    """Reverse each row's valid prefix in time; identity on the pad tail."""
+    t = x.shape[1]
+    idx = jnp.arange(t)[None, :]
+    src = jnp.where(idx < lengths[:, None], lengths[:, None] - 1 - idx, idx)
+    return jnp.take_along_axis(x, src.reshape(src.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
 def rnn_scan(
     params,
     spec: RNNSpec,
@@ -161,12 +169,15 @@ def rnn_scan(
     mask = (jnp.arange(t)[None, :] < lengths[:, None])[..., None]  # [B, T, 1]
 
     if reverse:
-        # flip only the valid prefix of each row: index map j -> len-1-j for
-        # j < len, identity elsewhere (pad frames are zero and masked anyway)
-        idx = jnp.arange(t)[None, :]
-        src = jnp.where(idx < lengths[:, None], lengths[:, None] - 1 - idx, idx)
-        xproj = jnp.take_along_axis(xproj, src[..., None], axis=1)
+        # flip only the valid prefix of each row (pad frames are zero and
+        # masked anyway) — shared _flip_valid invariant
+        xproj = _flip_valid(xproj, lengths)
 
+    if spec.impl == "pallas" and not spec.pallas_eligible:
+        raise ValueError(
+            "impl='pallas' requires the plain-LSTM fast path (no peephole/"
+            "num_proj/cell-clip/GRU/bfloat16); use impl='auto' or 'scan'"
+        )
     use_pallas = initial_state is None and (
         spec.impl == "pallas"
         or (spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu")
@@ -186,7 +197,7 @@ def rnn_scan(
         last = jnp.clip(lengths - 1, 0, t - 1)
         h_fin = jnp.take_along_axis(ys, last[:, None, None], axis=1)[:, 0]
         if reverse:
-            ys = jnp.take_along_axis(ys, src[..., None], axis=1)
+            ys = _flip_valid(ys, lengths)
         return ys, (h_fin, None)
 
     step = _lstm_step if spec.cell == "lstm" else _gru_step
@@ -216,9 +227,7 @@ def rnn_scan(
     )
     ys = jnp.swapaxes(ys, 0, 1)  # [B, T, out]
     if reverse:
-        idx = jnp.arange(t)[None, :]
-        src = jnp.where(idx < lengths[:, None], lengths[:, None] - 1 - idx, idx)
-        ys = jnp.take_along_axis(ys, src[..., None], axis=1)
+        ys = _flip_valid(ys, lengths)
     return ys, carry
 
 
@@ -228,14 +237,6 @@ def init_bidirectional(key, spec: RNNSpec, input_dim: int, param_init: float = 0
         "fwd": init_rnn_params(kf, spec, input_dim, param_init),
         "bwd": init_rnn_params(kb, spec, input_dim, param_init),
     }
-
-
-def _flip_valid(x, lengths):
-    """Reverse each row's valid prefix in time; identity on the pad tail."""
-    t = x.shape[1]
-    idx = jnp.arange(t)[None, :]
-    src = jnp.where(idx < lengths[:, None], lengths[:, None] - 1 - idx, idx)
-    return jnp.take_along_axis(x, src.reshape(src.shape + (1,) * (x.ndim - 2)), axis=1)
 
 
 def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
@@ -251,6 +252,11 @@ def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
     would serialize on the core, losing exactly the overlap the two scans
     get; fusing restores it with VMEM-resident weights/state.
     """
+    if spec.impl == "pallas" and not spec.pallas_eligible:
+        raise ValueError(
+            "impl='pallas' requires the plain-LSTM fast path (no peephole/"
+            "num_proj/cell-clip/GRU/bfloat16); use impl='auto' or 'scan'"
+        )
     use_pallas = spec.impl == "pallas" or (
         spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu"
     )

@@ -160,6 +160,8 @@ def forward_train(
     rng: jax.Array | None,
     ss_prob: float | jnp.ndarray | None = None,
     train: bool = True,
+    precomputed=None,  # encode(...) result, to share one encoder pass with
+    # a decode in the same program (eval runs both; the encoder dominates)
 ) -> Seq2SeqOutput:
     """Teacher-forced unroll with scheduled sampling over the label axis.
 
@@ -169,7 +171,10 @@ def forward_train(
     if rng is None:
         rng = jax.random.PRNGKey(0)  # consumed only by (inactive) sampling
     krng, drng, srng = jax.random.split(rng, 3)
-    enc, ctc_logits, ctc_len = encode(params, cfg, feats, feat_len, train=train, rng=krng)
+    enc, ctc_logits, ctc_len = (
+        precomputed if precomputed is not None
+        else encode(params, cfg, feats, feat_len, train=train, rng=krng)
+    )
     enc_out = enc.outputs
     enc_keys = precompute_keys(params["attention"], cfg.attention, enc_out)
     enc_mask = jnp.arange(enc_out.shape[1])[None, :] < enc.lengths[:, None]
@@ -204,10 +209,14 @@ def forward_train(
 
 
 def greedy_decode(
-    params, cfg: Seq2SeqConfig, feats, feat_len, max_len: int | None = None
+    params, cfg: Seq2SeqConfig, feats, feat_len, max_len: int | None = None,
+    precomputed=None,
 ) -> Seq2SeqOutput:
     """Argmax feedback decoding to ``max_decode_length`` with EOS masking."""
-    enc, ctc_logits, ctc_len = encode(params, cfg, feats, feat_len, train=False)
+    enc, ctc_logits, ctc_len = (
+        precomputed if precomputed is not None
+        else encode(params, cfg, feats, feat_len, train=False)
+    )
     enc_out = enc.outputs
     enc_keys = precompute_keys(params["attention"], cfg.attention, enc_out)
     enc_mask = jnp.arange(enc_out.shape[1])[None, :] < enc.lengths[:, None]

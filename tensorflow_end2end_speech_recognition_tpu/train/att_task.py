@@ -89,6 +89,7 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     out = forward_train(
         params, cfg, feats, feat_len, labels_in, rng,
         ss_prob=scheduled_sampling_prob(task, step) if train else 0.0,
+        train=train,  # eval-mode NLL must not be perturbed by dropout
     )
     row_w = batch.get("weight")  # 0.0 on duplicate-fill rows of short batches
     att_nll = batch_mean(
@@ -141,7 +142,12 @@ def make_eval_step(task: AttTaskConfig):
     def eval_step(params, batch):
         cfg = task.model
         feats, feat_len = device_pipeline(task, batch)
-        out = greedy_decode(params, cfg, feats, feat_len)
+        # ONE encoder pass shared by the greedy decode and the
+        # teacher-forced NLL (the encoder dominates eval cost)
+        from ..models.seq2seq import encode
+
+        pre = encode(params, cfg, feats, feat_len, train=False)
+        out = greedy_decode(params, cfg, feats, feat_len, precomputed=pre)
         # predicted_ids are eos-filled after finish; length = first-eos index
         preds = out.predicted_ids
         is_eos = preds == cfg.eos_id
@@ -152,7 +158,8 @@ def make_eval_step(task: AttTaskConfig):
         # metrics.csv/summary report a real loss for attention runs
         labels_in, targets, mask = make_decoder_io(cfg, batch["labels"], batch["label_len"])
         tf_out = forward_train(
-            params, cfg, feats, feat_len, labels_in, rng=None, ss_prob=0.0, train=False
+            params, cfg, feats, feat_len, labels_in, rng=None, ss_prob=0.0,
+            train=False, precomputed=pre,
         )
         nll = smoothed_cross_entropy(tf_out.logits, targets, mask, 0.0)
         return preds, dec_len, nll

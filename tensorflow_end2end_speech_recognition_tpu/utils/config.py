@@ -184,10 +184,11 @@ class ExperimentConfig:
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:
+        # main_task_weight is a TASK-level field (train/ctc_task.py), wired
+        # by train/loop.py — not a model property
         return CTCConfig(
             encoder=self.encoder_config(),
             num_classes=num_classes,
             bottleneck_dim=self.bottleneck_dim,
             num_classes_sub=num_classes_sub,
-            main_task_weight=self.main_task_weight,
         )
