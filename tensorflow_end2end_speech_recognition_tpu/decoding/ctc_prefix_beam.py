@@ -69,28 +69,15 @@ class BeamState(NamedTuple):
     lm_logp: jnp.ndarray | None = None  # cached next-token logp [B, W, C]
 
 
-def ctc_prefix_beam_search(
-    logits: jnp.ndarray,  # [B, T, C]
-    logit_len: jnp.ndarray,  # [B]
-    blank_id: int,
-    beam_width: int = 20,
-    top_k_classes: int | None = None,
-    max_prefix_len: int | None = None,
-    lm_logp_fn=None,  # (prefixes [B,W,L], lengths [B,W]) -> logp [B,W,C]
+def beam_init(
+    b: int,
+    beam_width: int,
+    max_prefix_len: int,
+    fusion_lm: FusionLM | None = None,
     lm_weight: float = 0.0,
-    fusion_lm: FusionLM | None = None,  # carried-state LM (preferred)
-):
-    """Returns (prefixes [B, W, L], lengths [B, W], scores [B, W]) sorted best-first.
-
-    Scores are total log probabilities log(p_blank + p_nonblank) (+ weighted
-    LM score when fusion is active).
-    """
-    b, t, c = logits.shape
+) -> BeamState:
+    """Fresh beam state (empty prefix live in slot 0)."""
     w = beam_width
-    k = min(top_k_classes or 16, c - 1)
-    l_max = max_prefix_len or t
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-
     # Dead initial slots (1..W-1) get distinct sentinel hashes so they can
     # never merge with the live empty prefix in slot 0: otherwise every
     # frame-0 candidate set contains W copies of the empty prefix, and any
@@ -101,8 +88,8 @@ def ctc_prefix_beam_search(
     sent2 = jnp.where(slot == 0, 0, jnp.uint32(0xC0000000) + slot)
     use_fusion = fusion_lm is not None and lm_weight
     lm_state0, lm_logp0 = fusion_lm.init(b, w) if use_fusion else (None, None)
-    state = BeamState(
-        prefixes=jnp.full((b, w, l_max), -1, jnp.int32),
+    return BeamState(
+        prefixes=jnp.full((b, w, max_prefix_len), -1, jnp.int32),
         lengths=jnp.zeros((b, w), jnp.int32),
         last=jnp.full((b, w), -1, jnp.int32),
         h1=jnp.broadcast_to(sent1, (b, w)),
@@ -113,6 +100,43 @@ def ctc_prefix_beam_search(
         lm_state=lm_state0,
         lm_logp=lm_logp0,
     )
+
+
+def beam_finalize(state: BeamState, lm_weight: float = 0.0):
+    """(prefixes [B, W, L], lengths, scores), sorted best-first."""
+    scores = jnp.logaddexp(state.pb, state.pnb) + lm_weight * state.lm_score
+    order = jnp.argsort(-scores, axis=1)
+    return (
+        jnp.take_along_axis(state.prefixes, order[..., None], axis=1),
+        jnp.take_along_axis(state.lengths, order, axis=1),
+        jnp.take_along_axis(scores, order, axis=1),
+    )
+
+
+def beam_advance(
+    state: BeamState,
+    logits: jnp.ndarray,  # [B, Tc, C] — a chunk (or the whole utterance)
+    valid_len: jnp.ndarray,  # [B] frames of this chunk to consume per row
+    blank_id: int,
+    top_k_classes: int | None = None,
+    lm_logp_fn=None,
+    lm_weight: float = 0.0,
+    fusion_lm: FusionLM | None = None,
+):
+    """Advance the beam over one chunk of frames.
+
+    The SAME per-frame body drives offline decoding (one call over the full
+    utterance) and streaming (one call per chunk with the carried state):
+    rows freeze bit-exactly past their ``valid_len``, so chunk boundaries
+    do not change the math.
+    """
+    b, t, c = logits.shape
+    w = state.pb.shape[1]
+    k = min(top_k_classes or 16, c - 1)
+    l_max = state.prefixes.shape[2]
+    use_fusion = fusion_lm is not None and lm_weight
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logit_len = valid_len
 
     def step(state, ti):
         lp = log_probs[:, ti]  # [B, C]
@@ -256,10 +280,31 @@ def ctc_prefix_beam_search(
         return merged_state, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(t))
-    scores = jnp.logaddexp(state.pb, state.pnb) + lm_weight * state.lm_score
-    order = jnp.argsort(-scores, axis=1)
-    return (
-        jnp.take_along_axis(state.prefixes, order[..., None], axis=1),
-        jnp.take_along_axis(state.lengths, order, axis=1),
-        jnp.take_along_axis(scores, order, axis=1),
+    return state
+
+
+def ctc_prefix_beam_search(
+    logits: jnp.ndarray,  # [B, T, C]
+    logit_len: jnp.ndarray,  # [B]
+    blank_id: int,
+    beam_width: int = 20,
+    top_k_classes: int | None = None,
+    max_prefix_len: int | None = None,
+    lm_logp_fn=None,  # (prefixes [B,W,L], lengths [B,W]) -> logp [B,W,C]
+    lm_weight: float = 0.0,
+    fusion_lm: FusionLM | None = None,  # carried-state LM (preferred)
+):
+    """Returns (prefixes [B, W, L], lengths [B, W], scores [B, W]) sorted best-first.
+
+    Scores are total log probabilities log(p_blank + p_nonblank) (+ weighted
+    LM score when fusion is active). Composed from ``beam_init`` /
+    ``beam_advance`` / ``beam_finalize`` — streaming decode drives the same
+    body chunk by chunk (``streaming.py``).
+    """
+    b, t, _ = logits.shape
+    state = beam_init(b, beam_width, max_prefix_len or t, fusion_lm, lm_weight)
+    state = beam_advance(
+        state, logits, logit_len, blank_id, top_k_classes,
+        lm_logp_fn, lm_weight, fusion_lm,
     )
+    return beam_finalize(state, lm_weight)

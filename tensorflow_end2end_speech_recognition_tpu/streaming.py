@@ -59,6 +59,9 @@ class StreamState(NamedTuple):
     frame_base: jnp.ndarray  # [B] global frame index of buffer frame 0
     rnn_states: tuple  # per layer: (h, c) or (h,)
     prev_id: jnp.ndarray  # [B] previous frame argmax (-1 before any frame)
+    beam: tuple | None = None  # carried CTC prefix-beam state (beam mode):
+    # the step emits greedy partials live; beam hypotheses are revisable, so
+    # the beam transcript comes from finalize_fn at stream end
 
 
 def _validate(task: CTCTaskConfig):
@@ -115,14 +118,23 @@ def carry_samples(frontend) -> int:
     return step * (-(-(length - step) // step))
 
 
-def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
-    """Returns ``(init_fn, step_fn)``.
+def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
+                       beam_width: int = 1, top_k_classes: int = 16,
+                       max_prefix_len: int = 200):
+    """Returns ``(init_fn, step_fn)`` — plus ``finalize_fn`` in beam mode.
 
     ``init_fn(batch_size)`` -> zeroed ``StreamState``.
     ``step_fn(state, chunk [B, C], chunk_len [B])`` ->
     ``(state, tokens [B, F] -1-padded, tok_len [B])`` with ``F = C/hop``;
     jit it once and drive the stream. Token rows concatenated over chunks
     equal the offline greedy decode of the concatenated audio.
+
+    ``beam_width > 1`` additionally carries a CTC prefix-beam across chunks
+    (``decoding/ctc_prefix_beam.py`` — the SAME per-frame body as offline,
+    so ``finalize_fn(state) -> (prefixes [B,W,L], lengths, scores)`` equals
+    the offline beam search of the whole utterance). The per-chunk tokens
+    remain the live greedy partials (beam hypotheses are revisable until
+    the stream ends); returns ``(init_fn, step_fn, finalize_fn)``.
     """
     _validate(task)
     fe = task.frontend
@@ -147,6 +159,11 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
                 return (h, jnp.zeros((batch_size, spec.num_units), jnp.float32))
             return (h,)
 
+        beam = None
+        if beam_width > 1:
+            from .decoding.ctc_prefix_beam import beam_init
+
+            beam = beam_init(batch_size, beam_width, max_prefix_len)
         return StreamState(
             sample_carry=jnp.zeros((batch_size, k), jnp.float32),
             samples_seen=jnp.zeros((batch_size,), jnp.int32),
@@ -154,6 +171,7 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
             frame_base=jnp.full((batch_size,), -(k // step_sz), jnp.int32),
             rnn_states=tuple(layer_state(i) for i in range(enc_cfg.num_layers)),
             prev_id=jnp.full((batch_size,), -1, jnp.int32),
+            beam=beam,
         )
 
     from .models.ctc import _affine  # affine head shared with the batch path
@@ -205,6 +223,18 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
         last_id = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]
         new_prev = jnp.where(n_new > 0, last_id, state.prev_id)
 
+        new_beam = state.beam
+        if beam_width > 1:
+            from .decoding.ctc_prefix_beam import beam_advance
+
+            # the rolled logits' valid prefix is exactly the new frames; the
+            # shared per-frame body freezes rows past n_new, so chunking
+            # composes to the identical offline beam
+            new_beam = beam_advance(
+                state.beam, logits, n_new, cfg.blank_id,
+                top_k_classes=top_k_classes,
+            )
+
         new_state = StreamState(
             # paused rows keep their carry and frame alignment bit-exactly
             sample_carry=jnp.where(
@@ -216,10 +246,18 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int):
             frame_base=jnp.where(active, state.frame_base + fb, state.frame_base),
             rnn_states=tuple(new_rnn),
             prev_id=new_prev,
+            beam=new_beam,
         )
         return new_state, tokens, tok_len
 
     # K is sized so the buffer yields exactly C/hop frames per chunk (the
     # leftover after consuming them is again exactly K samples)
     assert (k + chunk_samples - length) // step_sz + 1 == f_out
+    if beam_width > 1:
+        from .decoding.ctc_prefix_beam import beam_finalize
+
+        def finalize_fn(state: StreamState):
+            return beam_finalize(state.beam)
+
+        return init_fn, step_fn, finalize_fn
     return init_fn, step_fn

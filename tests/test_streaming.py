@@ -194,3 +194,46 @@ def test_streaming_pause_resume_and_slot_reuse():
         got0.extend(toks[0, : n[0]].tolist())
         assert n[1] == 0  # the ended row stays silent
     assert got0 == want[1]
+
+
+def test_streaming_beam_equals_offline_beam():
+    from tensorflow_end2end_speech_recognition_tpu.decoding import ctc_prefix_beam_search
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import apply_ctc
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(5), task)
+    rng = np.random.RandomState(5)
+    b, chunk = 2, 1600
+    wav = jnp.asarray(rng.randn(b, 4 * chunk).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([4 * chunk, 3 * chunk - 800], jnp.int32)
+    W, K, L = 4, 5, 50
+
+    # offline beam on the batch pipeline
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = apply_ctc(params, task.model, feats, fl)
+    want_p, want_l, want_s = (
+        np.asarray(x)
+        for x in ctc_prefix_beam_search(
+            out.logits, out.logit_len, task.model.blank_id, beam_width=W,
+            top_k_classes=K, max_prefix_len=L,
+        )
+    )
+
+    # chunked: greedy partials stream live, beam finalizes at stream end
+    init_fn, step_fn, finalize_fn = build_streaming_fn(
+        task, params, chunk, beam_width=W, top_k_classes=K, max_prefix_len=L
+    )
+    step_fn = jax.jit(step_fn)
+    state = init_fn(b)
+    wav_np = np.asarray(wav)
+    for k in range(4):
+        cl = np.clip(np.asarray(wav_len) - k * chunk, 0, chunk).astype(np.int32)
+        state, _, _ = step_fn(
+            state, jnp.asarray(wav_np[:, k * chunk : (k + 1) * chunk]),
+            jnp.asarray(cl),
+        )
+    got_p, got_l, got_s = (np.asarray(x) for x in finalize_fn(state))
+    np.testing.assert_array_equal(got_l, want_l)
+    np.testing.assert_array_equal(got_p, want_p)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5)
