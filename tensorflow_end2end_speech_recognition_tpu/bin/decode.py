@@ -93,6 +93,9 @@ def main(argv=None):
         hyp_len = np.asarray(result.lengths[:, 0])
         scores = np.asarray(result.scores[:, 0])
     else:
+        if lm_params is not None and args.beam_width <= 1:
+            print("WARNING: --lm-dir has no effect on greedy decode "
+                  "(beam_width <= 1); pass --beam-width N for LM fusion")
         lm_fusion = None
         if lm_params is not None:
             # carried-state shallow fusion: LM state rides the beam and

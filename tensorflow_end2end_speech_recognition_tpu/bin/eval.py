@@ -44,9 +44,23 @@ def main(argv=None):
 
     model_dir = Path(args.model_dir)
     exp = ExperimentConfig.from_yaml(model_dir / "config.yml")
-    # eval never needs train FEATURES (tokenizer learning reads transcripts)
-    _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp, need=("dev", "test"))
-    task, task_mod = build_task(exp, tokenizer, feature_dim_of(dev_utts))
+    # eval never needs train FEATURES (tokenizer learning reads transcripts).
+    # data_root mode: the per-set loop below loads each split itself (and
+    # frees it after scoring), so nothing is eagerly loaded here — a real
+    # corpus's dev/test features would otherwise sit in RAM twice.
+    first_utts = None
+    if exp.data_root is not None:
+        from ..data.npy_corpus import available_splits, load_npy_split
+
+        _, _, _, tokenizer = build_corpus_splits(exp, need=())
+        set_names = [s for s in available_splits(exp.data_root)
+                     if not s.startswith("train")]
+        first_utts = load_npy_split(exp.data_root, set_names[0], tokenizer)
+        dev_utts = test_utts = None
+    else:
+        _, dev_utts, test_utts, tokenizer = build_corpus_splits(exp, need=("dev", "test"))
+        first_utts = dev_utts
+    task, task_mod = build_task(exp, tokenizer, feature_dim_of(first_utts))
     params = task_mod.init_params(jax.random.PRNGKey(exp.seed), task)
     epoch, state = CheckpointManager(model_dir / "checkpoints").restore(
         {"params": params}, args.epoch
@@ -75,16 +89,16 @@ def main(argv=None):
     # on-disk corpora are scored over EVERY non-train split found (e.g.
     # LibriSpeech dev_clean/dev_other/test_clean/test_other, CSJ eval1/2/3)
     if exp.data_root is not None:
-        from ..data.npy_corpus import available_splits, load_npy_split
-
+        # lazy per-set loaders: each split's features live only while scored
         sets = [
-            (s, load_npy_split(exp.data_root, s, tokenizer))
-            for s in available_splits(exp.data_root)
-            if not s.startswith("train")
+            (s, (lambda s=s: load_npy_split(exp.data_root, s, tokenizer))
+             if i else (lambda: first_utts))
+            for i, s in enumerate(set_names)
         ]
     else:
-        sets = [("dev", dev_utts), ("test", test_utts)]
-    for name, utts in sets:
+        sets = [("dev", lambda: dev_utts), ("test", lambda: test_utts)]
+    for name, load_set in sets:
+        utts = load_set()
         ds = Dataset(
             utts, exp.eval_batch_size or exp.batch_size,
             cmvn_stats=cmvn_stats_for(exp, task, utts),

@@ -33,15 +33,25 @@ def _batches(utts, batch_size, u_pad, seed):
     order = rng.permutation(len(utts))
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
-        if len(idx) < batch_size:
-            idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+        n_real = len(idx)
+        # modulo fill (works for batch_size >> len(utts) too); fill rows get
+        # weight 0 so neither the loss nor the perplexity denominator counts
+        # them (same convention as data/dataset.py short-batch handling)
+        fill = [order[(j - n_real) % len(order)] for j in range(n_real, batch_size)]
+        idx = np.concatenate([idx, np.asarray(fill, order.dtype)]) if fill else idx
         labels = np.full((batch_size, u_pad), -1, np.int32)
         label_len = np.zeros((batch_size,), np.int32)
+        weight = np.zeros((batch_size,), np.float32)
+        weight[:n_real] = 1.0
         for j, i in enumerate(idx):
             ids = utts[i].label_ids[:u_pad]
             labels[j, : len(ids)] = ids
             label_len[j] = len(ids)
-        yield {"labels": jnp.asarray(labels), "label_len": jnp.asarray(label_len)}
+        yield {
+            "labels": jnp.asarray(labels),
+            "label_len": jnp.asarray(label_len),
+            "weight": jnp.asarray(weight),
+        }
 
 
 def main(argv=None):
@@ -55,10 +65,16 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--learning-rate", type=float, default=1e-3)
     args = ap.parse_args(argv)
+    if args.epochs < 1:
+        raise SystemExit("--epochs must be >= 1")
     _jax_setup()
 
     exp = ExperimentConfig.from_yaml(args.config)
-    train_utts, dev_utts, _, tokenizer = build_corpus_splits(exp)
+    # labels only: the LM consumes token ids — loading a real corpus's
+    # acoustic features (tens of GB for LS-960) here would be pure waste
+    train_utts, dev_utts, _, tokenizer = build_corpus_splits(
+        exp, need=("train", "dev"), load_features=False
+    )
     # vocab matches the attention task: units + sos + eos
     cfg = LMConfig(
         vocab=tokenizer.num_units + 2,

@@ -68,6 +68,13 @@ def batch_assemble(utts: list[np.ndarray], t_pad: int, n_threads: int = 0) -> tu
     b = len(utts)
     dim = 1 if utts[0].ndim == 1 else utts[0].shape[-1]
     lens = np.asarray([u.shape[0] for u in utts], np.int32)
+    if lens.size and int(lens.max()) > t_pad:
+        # the C++ kernel memcpys lens[i] rows into a t_pad row and memsets
+        # the (negative -> huge unsigned) remainder: validate HERE so a bad
+        # t_pad is a clean error, not silent heap corruption
+        raise ValueError(
+            f"utterance length {int(lens.max())} exceeds t_pad {t_pad}"
+        )
     lib = _load()
     if lib:
         utts = [np.ascontiguousarray(u, np.float32) for u in utts]

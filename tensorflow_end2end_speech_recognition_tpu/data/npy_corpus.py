@@ -62,7 +62,11 @@ def pick_split(splits: list[str], *prefixes: str) -> str | None:
     return None
 
 
-def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> list[Utterance]:
+def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer,
+                   load_features: bool = True) -> list[Utterance]:
+    """``load_features=False`` skips the per-utterance .npy reads (labels/
+    transcripts only — e.g. LM training needs token ids, not tens of GB of
+    acoustic features)."""
     root = Path(data_root) / split
     tsv = root / "transcripts.tsv"
     if not tsv.exists():
@@ -77,10 +81,13 @@ def load_npy_split(data_root: str | Path, split: str, tokenizer: Tokenizer) -> l
         else:
             utt_id, text = parts
             speaker = None
-        feat_path = root / "feats" / f"{utt_id}.npy"
-        feats = np.load(feat_path).astype(np.float32)
-        if feats.ndim != 2:
-            raise ValueError(f"{feat_path}: expected [T, D] features, got {feats.shape}")
+        if load_features:
+            feat_path = root / "feats" / f"{utt_id}.npy"
+            feats = np.load(feat_path).astype(np.float32)
+            if feats.ndim != 2:
+                raise ValueError(f"{feat_path}: expected [T, D] features, got {feats.shape}")
+        else:
+            feats = np.zeros((0, 1), np.float32)
         if hasattr(tokenizer, "encode_text"):  # char / word / BPE tokenizers
             ids = tokenizer.encode_text(text)
         else:  # phone / raw-unit inventories: space-separated tokens

@@ -36,16 +36,23 @@ def make_train_step(task: LMTaskConfig, optimizer):
             nll = lm_sequence_nll(
                 p, cfg, batch["labels"], batch["label_len"], sos_id=cfg.vocab - 2
             )
-            tokens = jnp.maximum(jnp.sum(batch["label_len"]), 1)
-            return jnp.sum(nll) / tokens  # per-token nll
+            w = batch.get("weight")  # 0.0 on duplicate-fill rows
+            if w is not None:
+                nll = nll * w
+                # supervised steps per row = label_len + 1 (the <eos> step)
+                tokens = jnp.sum((batch["label_len"] + 1) * w)
+            else:
+                tokens = jnp.sum(batch["label_len"] + 1)
+            return jnp.sum(nll) / jnp.maximum(tokens, 1)  # per-token nll
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = apply_updates(params, updates, lr)
-        # also reject clamped impossible-alignment losses (~1e30): they are
-        # finite but their gradients are garbage
         ok = jnp.isfinite(loss) & (loss < 1e20)
         params = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_params, params)
+        # the optimizer state must be rolled back too: one NaN gradient would
+        # otherwise poison Adam moments permanently (same guard as ctc_task)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state)
         return params, opt_state, {"loss": loss, "ppl": jnp.exp(loss)}
 
     return train_step
@@ -59,6 +66,12 @@ def make_eval_step(task: LMTaskConfig):
         nll = lm_sequence_nll(
             params, cfg, batch["labels"], batch["label_len"], sos_id=cfg.vocab - 2
         )
-        return jnp.sum(nll), jnp.sum(batch["label_len"])
+        w = batch.get("weight")
+        if w is not None:
+            # duplicate-fill rows carry weight 0; the token count matches the
+            # nll's supervised steps (label_len + 1: incl. the <eos> step) so
+            # perplexity is exp(nll per supervised token), not overstated
+            return jnp.sum(nll * w), jnp.sum((batch["label_len"] + 1) * w)
+        return jnp.sum(nll), jnp.sum(batch["label_len"] + 1)
 
     return eval_step

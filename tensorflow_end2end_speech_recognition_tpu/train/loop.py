@@ -47,7 +47,8 @@ def _attach_sub_labels(utts, exp: ExperimentConfig):
     return sub_tok
 
 
-def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test")):
+def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test"),
+                        load_features: bool = True):
     """Returns (train_utts, dev_utts, test_utts, tokenizer).
 
     ``data_root`` set -> the reference's on-disk mode: per-utterance .npy
@@ -93,7 +94,8 @@ def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test")):
             tok_kwargs["corpus_texts"] = read_transcripts(exp.data_root, train_name)
         tokenizer = build_tokenizer(exp.label_type, **tok_kwargs)
         load = lambda want, name: (
-            load_npy_split(exp.data_root, name, tokenizer) if want in need else []
+            load_npy_split(exp.data_root, name, tokenizer, load_features)
+            if want in need else []
         )
         train = load("train", train_name)
         dev = load("dev", dev_name)
