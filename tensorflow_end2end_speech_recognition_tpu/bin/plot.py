@@ -54,6 +54,11 @@ def main(argv=None):
     batch = next(ds.batches(0))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
     i = args.utt_index
+    n_rows = sum(1 for n in batch["names"] if n is not None)
+    if not 0 <= i < n_rows:
+        # JAX indexing clamps out-of-bounds silently — that would plot the
+        # wrong utterance under the requested index's filename
+        raise SystemExit(f"--utt-index {i} out of range (batch has {n_rows} utts)")
 
     if exp.model_type in ("ctc", "multitask_ctc"):
         @jax.jit

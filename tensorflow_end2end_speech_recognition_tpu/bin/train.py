@@ -43,7 +43,6 @@ def main(argv=None):
             _orig.flush()
             log_f.flush()
 
-    prev_stdout = sys.stdout
     sys.stdout = _Tee()  # reference parity: train output also lands in train.log
     try:
         exp = ExperimentConfig.from_yaml(args.config)
@@ -54,7 +53,7 @@ def main(argv=None):
         summary = fit(exp, args.model_dir, profile_steps=(2, 5) if args.profile else None)
         print("FINAL", summary)
     finally:
-        sys.stdout = prev_stdout
+        sys.stdout = _orig
         log_f.close()
 
 

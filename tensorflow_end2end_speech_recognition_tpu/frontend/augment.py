@@ -36,7 +36,9 @@ def spec_augment(
     for i in range(cfg.num_freq_masks):
         k0, k1 = jax.random.split(keys[i])
         width = jax.random.randint(k0, (b, 1, 1), 0, cfg.freq_mask_width + 1)
-        start = jax.random.randint(k1, (b, 1, 1), 0, max(d - cfg.freq_mask_width, 1))
+        # start may reach d - F (so start + width <= d covers the top bin);
+        # an exclusive bound of d - F left the highest bin never masked
+        start = jax.random.randint(k1, (b, 1, 1), 0, max(d - cfg.freq_mask_width, 0) + 1)
         keep = keep * jnp.where(
             (freq_idx >= start) & (freq_idx < start + width), 0.0, 1.0
         )

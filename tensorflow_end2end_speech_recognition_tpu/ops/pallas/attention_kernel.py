@@ -57,7 +57,10 @@ def _attention_kernel(
 ):
     T = keys_ref.shape[1]
     Wp = smat_ref.shape[0]
-    half = conv_width // 2
+    # SAME-conv left offset: XLA pads (W-1)//2 on the left for even widths
+    # too — W//2 would shift the window one frame for even conv widths and
+    # silently diverge from the unfused attend() path
+    half = (conv_width - 1) // 2
     prev = align_prev_ref[0]  # [1, T]
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     smat_ref[:] = jnp.zeros_like(smat_ref)  # padded tap rows must be zero
