@@ -55,6 +55,8 @@ def main(argv=None):
         _, _, _, tokenizer = build_corpus_splits(exp, need=())
         set_names = [s for s in available_splits(exp.data_root)
                      if not s.startswith("train")]
+        if not set_names:
+            raise SystemExit(f"no non-train splits found under {exp.data_root}")
         first_utts = load_npy_split(exp.data_root, set_names[0], tokenizer)
         dev_utts = test_utts = None
     else:
@@ -89,10 +91,19 @@ def main(argv=None):
     # on-disk corpora are scored over EVERY non-train split found (e.g.
     # LibriSpeech dev_clean/dev_other/test_clean/test_other, CSJ eval1/2/3)
     if exp.data_root is not None:
-        # lazy per-set loaders: each split's features live only while scored
+        # lazy per-set loaders: each split's features live only while scored.
+        # The first split reuses the eagerly-loaded features ONCE, then drops
+        # the reference so they free like every other split's (ADVICE r2 #3)
+        holder = [first_utts]
+        first_utts = None
+
+        def _take_first(s=set_names[0]):
+            utts, holder[0] = holder[0], None
+            return utts if utts is not None else load_npy_split(exp.data_root, s, tokenizer)
+
         sets = [
             (s, (lambda s=s: load_npy_split(exp.data_root, s, tokenizer))
-             if i else (lambda: first_utts))
+             if i else _take_first)
             for i, s in enumerate(set_names)
         ]
     else:
@@ -104,6 +115,7 @@ def main(argv=None):
             cmvn_stats=cmvn_stats_for(exp, task, utts),
         )
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
+        del utts, ds  # free this split before the next loads
         print(
             f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} "
             f"(S {m['sub_rate']:.4f} / I {m['ins_rate']:.4f} / D {m['del_rate']:.4f}) "

@@ -54,13 +54,17 @@ def attention_beam_search(
     lm_params=None,
     lm_cfg: LMConfig | None = None,
     lm_weight: float = 0.0,
+    precomputed=None,  # encode(...) result, to share one encoder pass
 ) -> BeamSearchResult:
     b = feats.shape[0]
     w = beam_width
     v = cfg.vocab
     max_len = max_len or cfg.max_decode_length
 
-    enc, ctc_logits, ctc_len = encode(params, cfg, feats, feat_len, train=False)
+    enc, ctc_logits, ctc_len = (
+        precomputed if precomputed is not None
+        else encode(params, cfg, feats, feat_len, train=False)
+    )
     enc_out = _tile_beam(enc.outputs, w)  # [B*W, T, He]
     enc_keys = precompute_keys(params["attention"], cfg.attention, enc_out)
     enc_mask = jnp.arange(enc_out.shape[1])[None, :] < _tile_beam(enc.lengths, w)[:, None]

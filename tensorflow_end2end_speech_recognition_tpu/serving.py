@@ -337,6 +337,12 @@ class StreamingEngine:
             slot["ending"] = True
             ev = slot["flushed"]
         if not ev.wait(timeout):
+            # free the slot anyway: a hung device step must not leak the
+            # slot forever (ending slots skip idle reclaim — ADVICE r2 #1)
+            with self._lock:
+                if self._sessions.get(sid) == i:
+                    self._slots[i] = None
+                    del self._sessions[sid]
             raise TimeoutError("stream flush timed out")
         with self._lock:
             out = slot["pending"]
@@ -361,8 +367,10 @@ class StreamingEngine:
                 # must not leak its slot forever (batch_size leaks = total DoS)
                 now = time.monotonic()
                 for i, s in enumerate(self._slots):
-                    if (s is not None and not s["ending"]
-                            and now - s["last"] > self._session_timeout):
+                    # ending slots are reclaimed too: if end()'s waiter is
+                    # gone (timeout/disconnect) a flush that never completes
+                    # would otherwise pin the slot forever (ADVICE r2 #1)
+                    if s is not None and now - s["last"] > self._session_timeout:
                         del self._sessions[s["id"]]
                         self._slots[i] = None
                 resets = [i for i, s in enumerate(self._slots) if s and s["reset"]]

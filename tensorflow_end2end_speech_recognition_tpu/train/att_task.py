@@ -181,15 +181,29 @@ def make_beam_eval_step(task: AttTaskConfig, beam_width: int, length_penalty: fl
 
     @jax.jit
     def eval_step(params, batch):
+        from ..models.seq2seq import encode
+
         feats, feat_len = device_pipeline(task, batch)
+        # ONE encoder pass shared by the beam and the teacher-forced NLL
+        pre = encode(params, cfg, feats, feat_len, train=False)
         result = attention_beam_search(
             params, cfg, feats, feat_len,
             beam_width=beam_width, length_penalty=length_penalty,
             lm_params=lm_params, lm_cfg=lm_cfg,
             lm_weight=lm_weight if lm_params is not None else 0.0,
+            precomputed=pre,
         )
         if joint_rescore_weight is not None and cfg.is_joint:
             result = _rescore(result, joint_rescore_weight, cfg.num_classes, length_penalty)
-        return result.tokens[:, 0], result.lengths[:, 0], -result.scores[:, 0]
+        # report the same quantity as the greedy eval step (teacher-forced
+        # per-utterance NLL), NOT the beam score — so bin/eval.py's "loss"
+        # column means the same thing across greedy/beam runs (VERDICT r2 #9)
+        labels_in, targets, mask = make_decoder_io(cfg, batch["labels"], batch["label_len"])
+        tf_out = forward_train(
+            params, cfg, feats, feat_len, labels_in, rng=None, ss_prob=0.0,
+            train=False, precomputed=pre,
+        )
+        nll = smoothed_cross_entropy(tf_out.logits, targets, mask, 0.0)
+        return result.tokens[:, 0], result.lengths[:, 0], nll
 
     return eval_step

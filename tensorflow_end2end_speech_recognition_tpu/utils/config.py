@@ -122,6 +122,12 @@ class ExperimentConfig:
     @classmethod
     def from_dict(cls, raw: dict) -> "ExperimentConfig":
         fields = {f.name for f in dataclasses.fields(cls)}
+        # PyYAML 1.1 reads "3e-3" (no dot) as a STRING; reference configs use
+        # that notation freely, so coerce strings for float-typed fields
+        float_fields = {
+            f.name for f in dataclasses.fields(cls)
+            if f.type in ("float", "float | None")
+        }
         aliases = {  # reference spellings -> ours
             "pretrain_stage": None,  # accepted & ignored
             "num_classes": None,  # derived from label_type
@@ -133,10 +139,24 @@ class ExperimentConfig:
         cfg = {}
         for k, v in raw.items():
             if k in fields:
+                if k in float_fields and isinstance(v, str):
+                    v = float(v)
                 cfg[k] = v
             elif k in aliases:
                 if aliases[k]:
+                    if aliases[k] in float_fields and isinstance(v, str):
+                        v = float(v)
                     cfg[aliases[k]] = v
+                else:
+                    # accepted-but-ignored reference keys change semantics
+                    # silently (e.g. dropout_input) — say so, loudly once
+                    import warnings
+
+                    warnings.warn(
+                        f"config key {k!r}={v!r} is accepted for reference "
+                        "parity but has no effect in this framework",
+                        stacklevel=2,
+                    )
             else:
                 raise KeyError(f"unknown config key {k!r} (see ExperimentConfig)")
         return cls(**cfg)

@@ -164,3 +164,25 @@ def test_cli_export_streaming(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "exported" in out and "streaming" in out and "selfcheck ok" in out
     assert out_path.exists() and out_path.with_suffix(".shlo.json").exists()
+
+
+def test_config_warns_on_ignored_reference_keys():
+    """Reference keys that are accepted but dropped (dropout_input,
+    pretrain_stage) must warn, not vanish silently (VERDICT r2 #10)."""
+    import warnings
+
+    import pytest
+
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import ExperimentConfig
+
+    with pytest.warns(UserWarning, match="dropout_input"):
+        ExperimentConfig.from_dict({"dropout_input": 0.8})
+    with pytest.warns(UserWarning, match="pretrain_stage"):
+        ExperimentConfig.from_dict({"pretrain_stage": 1})
+    # aliased keys that DO take effect stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cfg = ExperimentConfig.from_dict({"dropout_encoder": 0.7})
+    assert cfg.dropout == 0.7
+    with pytest.raises(KeyError):
+        ExperimentConfig.from_dict({"not_a_key": 1})

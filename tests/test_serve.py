@@ -297,3 +297,28 @@ def test_streaming_engine_reclaims_abandoned_sessions():
             eng.feed(sid, np.zeros((1,), np.float32))
     finally:
         eng.stop()
+
+
+def test_streaming_engine_flush_timeout_frees_slot():
+    """A hung device step must not leak the slot when end() times out
+    (ADVICE r2 #1: ending slots skipped idle reclaim forever)."""
+    import pytest
+    from tensorflow_end2end_speech_recognition_tpu.serving import StreamingEngine
+
+    release = threading.Event()
+
+    def hung_step(state, chunk, lens):
+        release.wait(10.0)  # simulates a wedged device dispatch
+        return state, np.full((1, 4), -1, np.int32), np.zeros((1,), np.int32)
+
+    eng = StreamingEngine([np.zeros((1, 4))], hung_step, 1, 16, tick_ms=1.0)
+    try:
+        sid = eng.start()
+        eng.feed(sid, np.zeros((16,), np.float32))  # worker blocks in hung_step
+        with pytest.raises(TimeoutError):
+            eng.end(sid, timeout=0.3)
+        # the slot was freed despite the timed-out flush
+        assert eng.start() is not None
+    finally:
+        release.set()
+        eng.stop()
