@@ -40,6 +40,7 @@ def joint_rescore(
             hyp_b,
             hyp_len_b,
             blank_id=blank_id,
+            need_grad=False,  # rescoring never differentiates
         )
 
     ctc_lp = jax.vmap(per_beam)(

@@ -45,6 +45,16 @@ def _shift_right(x, fill=_NEG_INF, n=1):
     return jnp.pad(x[:, :-n], ((0, 0), (n, 0)), constant_values=fill)
 
 
+def pallas_ctc_fwd_fits(t: int, c: int, u: int) -> bool:
+    """VMEM guard for the forward-only kernel (no [T,S] alpha buffer, no
+    [T,C] grad output — just logits, the transient lp, lpz, and the onehot),
+    so it admits larger shapes than the fused loss+grad kernel."""
+    c_pad = -(-c // 128) * 128
+    s_pad = -(-(2 * u + 1) // 128) * 128
+    vmem = 4 * (2 * t * c_pad + t * s_pad + s_pad * c_pad + 3 * s_pad)
+    return vmem <= 12 * 1024 * 1024
+
+
 def pallas_ctc_fits(t: int, c: int, u: int) -> bool:
     """Scoped-VMEM guard for the fused CTC kernel's per-utterance block.
 
@@ -69,12 +79,17 @@ def ctc_loss(
     label_len: jnp.ndarray,  # [B]
     blank_id: int | None = None,
     impl: str = "auto",
+    need_grad: bool = True,
 ) -> jnp.ndarray:
     """Per-utterance negative log-likelihood, [B]. ``blank_id`` defaults to C-1.
 
     ``impl='auto'`` uses the fused Pallas forward-backward kernel on TPU
     (4.5x faster than the scan at LS-960 shapes, loss+grad in one pass) and
-    the pure-JAX scan elsewhere.
+    the pure-JAX scan elsewhere. ``need_grad=False`` (eval/decode callers)
+    routes to the forward-only kernel — the backward lattice pass and the
+    gradient are skipped entirely, as the reference's ``tf.nn.ctc_loss`` did
+    outside training (SURVEY.md §2.8). Differentiating the ``need_grad=False``
+    Pallas path raises; pass the default when gradients may be taken.
     """
     c = logits.shape[-1]
     if blank_id is None:
@@ -82,8 +97,19 @@ def ctc_loss(
     if impl == "auto":
         import jax as _jax
 
-        fits = pallas_ctc_fits(logits.shape[1], c, labels.shape[1])
-        impl = "pallas" if (_jax.default_backend() == "tpu" and fits) else "scan"
+        t, u = logits.shape[1], labels.shape[1]
+        if _jax.default_backend() != "tpu":
+            impl = "scan"
+        elif not need_grad and pallas_ctc_fwd_fits(t, c, u):
+            impl = "pallas_fwd"
+        elif pallas_ctc_fits(t, c, u):
+            impl = "pallas"
+        else:
+            impl = "scan"
+    if impl == "pallas_fwd":
+        from .pallas.ctc_kernel import ctc_loss_pallas_fwd_only
+
+        return ctc_loss_pallas_fwd_only(logits, logit_len, labels, label_len, blank_id)
     if impl == "optax":
         import optax
 

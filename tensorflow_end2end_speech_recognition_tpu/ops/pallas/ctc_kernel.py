@@ -264,3 +264,115 @@ def _ctc_vjp_bwd(blank_id, res, g):
 
 
 ctc_loss_pallas.defvjp(_ctc_vjp_fwd, _ctc_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Forward-only variant: alpha recursion + loss, NO beta/gradient pass.
+#
+# Eval/decode paths (greedy/beam eval nll, joint CTC rescoring) never use the
+# gradient, but the fused kernel above always pays for it — the reference's
+# tf.nn.ctc_loss likewise skipped the grad outside training (SURVEY.md §2.8).
+# Dropping the backward halves the lattice work and shrinks VMEM to one
+# running alpha ROW (no [T, S] alpha buffer, no [T, C] grad output), so
+# larger (T, C, U) shapes fit than the fused kernel admits.
+# ---------------------------------------------------------------------------
+
+
+def _ctc_fwd_only_kernel(
+    # scalar prefetch
+    logit_len_ref,  # [B] int32
+    label_len_ref,  # [B] int32
+    # inputs
+    logits_ref,  # [1, T, C]
+    z_ref,  # [1, 1, S]
+    skip_ref,  # [1, 1, S]
+    # outputs
+    loss_ref,  # [1, 1, 1]
+    # scratch
+    lpz_ref,  # [T, S] f32
+):
+    i = pl.program_id(0)
+    t_len = logit_len_ref[i]
+    u_len = label_len_ref[i]
+    T = logits_ref.shape[1]
+    C = logits_ref.shape[2]
+    S = z_ref.shape[2]
+
+    logits = logits_ref[0]  # [T, C]
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    shifted = logits - row_max
+    lp = shifted - jnp.log(jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))
+
+    z_row = z_ref[0, 0]  # [S]
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, (S, C), 1)
+    onehot = (z_row[:, None] == class_ids).astype(jnp.float32)  # [S, C]
+    lpz_ref[:] = jax.lax.dot_general(
+        lp, onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, S]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    lpz0 = lpz_ref[0][None, :]
+    init_mask = (lane == 0) | ((lane == 1) & (u_len > 0))
+    alpha0 = jnp.where(init_mask, lpz0, _NEG)
+    skip_add = skip_ref[0]  # [1, S]
+
+    def fwd_body(t, alpha):
+        stay = alpha
+        diag = _shift_lanes(alpha, 1)
+        skip = _shift_lanes(alpha, 2) + skip_add
+        new = _lse3(stay, diag, skip) + lpz_ref[t, :][None, :]
+        new = jnp.maximum(new, _NEG)
+        return jnp.where(t < t_len, new, alpha)
+
+    alpha = jax.lax.fori_loop(1, T, fwd_body, alpha0)
+
+    end_blank_lane = 2 * u_len
+    end_label_lane = jnp.maximum(2 * u_len - 1, 0)
+    end_mask = (lane == end_blank_lane) | ((lane == end_label_lane) & (u_len > 0))
+    ends = jnp.where(end_mask, alpha, _NEG)
+    m = jnp.max(ends)
+    logp_total = m + jnp.log(jnp.sum(jnp.exp(ends - m)))
+    loss_ref[0] = jnp.broadcast_to(-logp_total, (1, 1))
+
+
+def ctc_loss_pallas_fwd_only(logits, logit_len, labels, label_len, blank_id,
+                             interpret=False):
+    """Loss-only CTC: [B] nll with no gradient support (eval/decode paths)."""
+    b, t, c = logits.shape
+    u = labels.shape[1]
+    c_pad = _round_up(c, 128)
+    s_pad = _round_up(2 * u + 1, 128)
+    if c_pad != c:
+        logits = jnp.pad(logits, ((0, 0), (0, 0), (0, c_pad - c)), constant_values=_NEG)
+    z, skip_add = _prepare(labels, label_len, blank_id, s_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, s_pad), jnp.float32),  # lpz
+        ],
+    )
+    loss = pl.pallas_call(
+        _ctc_fwd_only_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, 1, 1), jnp.float32)],
+        interpret=interpret,
+    )(
+        logit_len.astype(jnp.int32),
+        label_len.astype(jnp.int32),
+        logits.astype(jnp.float32),
+        z[:, None, :],
+        skip_add[:, None, :],
+    )
+    return loss[0][:, 0, 0]

@@ -138,7 +138,7 @@ def make_eval_step(task: CTCTaskConfig):
         out = apply_ctc(params, task.model, feats, feat_len, train=False)
         nll = ctc_loss(
             out.logits, out.logit_len, batch["labels"], batch["label_len"],
-            blank_id=task.model.blank_id, impl=task.ctc_impl,
+            blank_id=task.model.blank_id, impl=task.ctc_impl, need_grad=False,
         )
         decoded, dec_len = ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
         return decoded, dec_len, nll
@@ -171,7 +171,7 @@ def make_beam_eval_step(task: CTCTaskConfig, beam_width: int, top_k_classes: int
         out = apply_ctc(params, task.model, feats, feat_len, train=False)
         nll = ctc_loss(
             out.logits, out.logit_len, batch["labels"], batch["label_len"],
-            blank_id=task.model.blank_id, impl=task.ctc_impl,
+            blank_id=task.model.blank_id, impl=task.ctc_impl, need_grad=False,
         )
         prefixes, lengths, _ = ctc_prefix_beam_search(
             out.logits, out.logit_len, task.model.blank_id,

@@ -60,3 +60,56 @@ def test_pallas_ctc_vmem_fit_guard():
     assert not pallas_ctc_fits(1000, 3000, 100)
     # very long unstacked utterance with a long transcript
     assert not pallas_ctc_fits(3000, 29, 400)
+
+
+def test_pallas_fwd_only_matches_scan_interpret():
+    from tensorflow_end2end_speech_recognition_tpu.ops.pallas.ctc_kernel import (
+        ctc_loss_pallas_fwd_only,
+    )
+
+    for seed in (0, 3):
+        logits, logit_len, labels, label_len, blank = _case(seed=seed)
+        loss_f = ctc_loss_pallas_fwd_only(
+            logits, logit_len, labels, label_len, blank, interpret=True
+        )
+        loss_s = ctc_loss(logits, logit_len, labels, label_len, blank, impl="scan")
+        np.testing.assert_allclose(np.asarray(loss_f), np.asarray(loss_s), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_fwd_only_repeated_labels_interpret():
+    from tensorflow_end2end_speech_recognition_tpu.ops.pallas.ctc_kernel import (
+        ctc_loss_pallas_fwd_only,
+    )
+
+    c, blank = 5, 4
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(1, 12, c).astype(np.float32))
+    labels = jnp.asarray([[2, 2, 1, 1]])
+    loss_f = ctc_loss_pallas_fwd_only(
+        logits, jnp.asarray([12]), labels, jnp.asarray([4]), blank, interpret=True
+    )
+    loss_s = ctc_loss(logits, jnp.asarray([12]), labels, jnp.asarray([4]), blank, "scan")
+    np.testing.assert_allclose(np.asarray(loss_f), np.asarray(loss_s), rtol=1e-4)
+
+
+def test_pallas_fwd_fits_admits_more_than_fused():
+    from tensorflow_end2end_speech_recognition_tpu.ops.ctc import (
+        pallas_ctc_fits,
+        pallas_ctc_fwd_fits,
+    )
+
+    assert pallas_ctc_fwd_fits(400, 29, 40)
+    # shapes the fused loss+grad kernel rejects but forward-only admits
+    # (no [T,S] alpha buffer, no [T,C] grad): long unstacked joint eval
+    assert not pallas_ctc_fits(2400, 29, 250)
+    assert pallas_ctc_fwd_fits(2400, 29, 250)
+    # both reject kanji-scale vocab at long T
+    assert not pallas_ctc_fwd_fits(1000, 3000, 300)
+
+
+def test_need_grad_false_scan_path_equals_default():
+    # need_grad only changes the impl routing, never the value
+    logits, logit_len, labels, label_len, blank = _case(seed=7)
+    a = ctc_loss(logits, logit_len, labels, label_len, blank, impl="scan")
+    b = ctc_loss(logits, logit_len, labels, label_len, blank, impl="scan", need_grad=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
