@@ -93,3 +93,42 @@ def global_device_batch(mesh, local_batch: dict, process_count: int | None = Non
 def distribute_batch(mesh, batch: dict) -> dict:
     """process_slice + global_device_batch in one call (the fit() hook)."""
     return global_device_batch(mesh, process_slice(batch))
+
+
+def local_replica(tree):
+    """Process-local host-independent copy of a replicated param tree.
+
+    Pod-scale eval (``utils.metrics.evaluate_ctc``) runs the decode step on
+    each process's OWN row slice with plain local device placement; params
+    trained under DP are fully replicated over the mesh, so every process
+    already holds a complete copy — this just lifts the first addressable
+    shard out of the global jax.Array so a process-local jit can consume it.
+    Plain (non-distributed) arrays pass through unchanged.
+    """
+
+    import jax.numpy as jnp
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return jnp.asarray(x.addressable_shards[0].data)
+        return x
+
+    return jax.tree.map(one, tree)
+
+
+def allreduce_counts(counts):
+    """Sum a small numpy count vector across all processes (DCN, tiny).
+
+    The pod-scale eval contract (SURVEY.md §2.10): each process scores only
+    its own rows host-side (Levenshtein counts, loss sums, utterance
+    counts), then the per-process count vectors — a few dozen bytes — are
+    summed across hosts. Single-process is an identity no-op.
+    """
+    import numpy as np
+
+    counts = np.asarray(counts)
+    if jax.process_count() == 1:
+        return counts
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(counts)).sum(axis=0)

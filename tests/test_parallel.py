@@ -203,3 +203,54 @@ def test_fit_data_parallel_end_to_end(tmp_path):
     summary = fit(exp, str(tmp_path / "m"), log_every=100, print_fn=lambda *a: None)
     assert np.isfinite(summary["train_loss"])
     assert summary["epochs"] == 2
+
+
+def test_pod_eval_sharding_matches_single_process():
+    """Per-process row slices + count summation give rates identical to one
+    process scoring the full set (SURVEY.md §2.10 pod-scale eval plan)."""
+    from tensorflow_end2end_speech_recognition_tpu.data import Dataset
+    from tensorflow_end2end_speech_recognition_tpu.parallel.multihost import (
+        allreduce_counts,
+        process_slice,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import make_eval_step
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import (
+        build_corpus_splits,
+        build_task,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import ExperimentConfig
+    from tensorflow_end2end_speech_recognition_tpu.utils.metrics import (
+        eval_counts,
+        evaluate_ctc,
+        rates_from_counts,
+    )
+
+    exp = ExperimentConfig(
+        label_type="phone61", toy_num_utts=24, use_delta=False,
+        use_energy=False, num_units=8, num_layers=1, batch_size=8,
+    )
+    _, dev, _, tok = build_corpus_splits(exp, need=("dev",))
+    task, task_mod = build_task(exp, tok)
+    params = task_mod.init_params(jax.random.PRNGKey(0), task)
+    eval_step = make_eval_step(task)
+    ds = Dataset(dev, exp.batch_size)
+
+    full = eval_counts(eval_step, params, ds, tok, exp.label_type)
+    # simulate a 4-process pod: each process scores its own row slice
+    per_proc = [
+        eval_counts(
+            eval_step, params, ds, tok, exp.label_type,
+            row_slice=lambda b, p=p: process_slice(b, p, 4),
+        )
+        for p in range(4)
+    ]
+    summed = np.sum(per_proc, axis=0)
+    np.testing.assert_allclose(summed, full)
+    # the reduced rates equal the single-process evaluate_ctc output
+    m_full = evaluate_ctc(eval_step, params, ds, tok, exp.label_type)
+    m_pod = rates_from_counts(summed)
+    for k in ("error_rate", "sub_rate", "ins_rate", "del_rate", "num_utts"):
+        assert m_pod[k] == m_full[k], k
+    np.testing.assert_allclose(m_pod["loss"], m_full["loss"], rtol=1e-6)
+    # single-process allreduce is the identity
+    np.testing.assert_array_equal(allreduce_counts(full), full)
