@@ -47,6 +47,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .frontend import extract_features
 from .models.rnn import rnn_scan
@@ -62,6 +63,12 @@ class StreamState(NamedTuple):
     beam: tuple | None = None  # carried CTC prefix-beam state (beam mode):
     # the step emits greedy partials live; beam hypotheses are revisable, so
     # the beam transcript comes from finalize_fn at stream end
+    # frame stacking (num_stack/num_skip > 1): base-frame remainder not yet
+    # consumed by a stacked window, stored RIGHT-aligned in its buffer so
+    # concat(frame_carry, new_frames) is contiguous (None when unstacked —
+    # keeps the v1 artifact state layout unchanged)
+    frame_carry: jnp.ndarray | None = None  # [B, num_stack-1, D]
+    carry_len: jnp.ndarray | None = None  # [B] valid frames in frame_carry
 
 
 def _validate(task: CTCTaskConfig):
@@ -79,11 +86,15 @@ def _validate(task: CTCTaskConfig):
         raise ValueError("per-utterance/per-speaker CMVN is not causal (or "
                          "needs out-of-band stats); use cmvn: none for "
                          "streaming models")
-    if task.num_stack != 1 or task.num_skip != 1 or task.splice != 0:
+    if task.splice != 0:
         raise ValueError(
-            "streaming v1 supports num_stack=1, num_skip=1, splice=0 (frame "
-            "stacking/subsampling/splicing would change the frame rate the "
-            "chunk step feeds the encoder)"
+            "streaming supports splice=0 only (context splicing is "
+            "non-causal: it needs future frames on the right edge)"
+        )
+    if task.num_skip > task.num_stack:
+        raise ValueError(
+            "streaming frame stacking needs num_skip <= num_stack (gapped "
+            "subsampling would need negative frame carry)"
         )
     enc = task.model.encoder
     if enc.encoder_type not in ("lstm", "gru"):
@@ -135,6 +146,16 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
     the offline beam search of the whole utterance). The per-chunk tokens
     remain the live greedy partials (beam hypotheses are revisable until
     the stream ends); returns ``(init_fn, step_fn, finalize_fn)``.
+
+    Frame stacking (``num_stack``/``num_skip`` > 1, VERDICT r2 #6): the step
+    carries the base-frame remainder between chunks and feeds the encoder
+    stacked frames bit-identical to the offline ``stack_frames`` windows. A
+    stacked stream must signal its END explicitly when it terminates on an
+    exact chunk boundary — pass ``chunk_len = -1`` (a "final, zero new
+    samples" flush) so the tail windows (zero-padded like offline) are
+    emitted; a final PARTIAL chunk (``0 < chunk_len < chunk_samples``)
+    flushes implicitly, as in v1. Unstacked streams ignore the distinction
+    (they hold nothing back).
     """
     _validate(task)
     fe = task.frontend
@@ -150,7 +171,10 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
     if chunk_samples + carry_samples(fe) < length:
         raise ValueError("chunk too short: carry + chunk must cover one window")
     k = carry_samples(fe)
-    f_out = chunk_samples // step_sz  # frames emitted per full chunk
+    f_out = chunk_samples // step_sz  # base frames emitted per full chunk
+    n_stack, n_skip = task.num_stack, task.num_skip
+    stacked = n_stack > 1 or n_skip > 1
+    feat_dim = fe.feature_dim
 
     def init_fn(batch_size: int) -> StreamState:
         def layer_state(_):
@@ -172,6 +196,11 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
             rnn_states=tuple(layer_state(i) for i in range(enc_cfg.num_layers)),
             prev_id=jnp.full((batch_size,), -1, jnp.int32),
             beam=beam,
+            frame_carry=(
+                jnp.zeros((batch_size, n_stack - 1, feat_dim), jnp.float32)
+                if stacked else None
+            ),
+            carry_len=jnp.zeros((batch_size,), jnp.int32) if stacked else None,
         )
 
     from .models.ctc import _affine  # affine head shared with the batch path
@@ -179,59 +208,106 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
     def step_fn(state: StreamState, chunk, chunk_len):
         chunk = jnp.asarray(chunk, jnp.float32)
         chunk_len = jnp.asarray(chunk_len, jnp.int32)
+        # chunk_len < 0: explicit end-of-stream flush with no new samples
+        # (stacked streams ending on an exact chunk boundary — see docstring)
+        explicit_final = chunk_len < 0
+        eff_len = jnp.where(explicit_final, 0, chunk_len)
         buf = jnp.concatenate([state.sample_carry, chunk], axis=1)
-        feats, _ = extract_features(buf, k + chunk_len, fe)  # [B, Fb, D]
+        feats, _ = extract_features(buf, k + eff_len, fe)  # [B, Fb, D]
         fb = feats.shape[1]
 
-        active = chunk_len > 0  # rows with chunk_len == 0 are paused: freeze
-        new_total = state.samples_seen + chunk_len
+        active = eff_len > 0  # rows with chunk_len == 0 are paused: freeze
+        is_final = explicit_final | (active & (eff_len < chunk_samples))
+        new_total = state.samples_seen + eff_len
         total_frames = jnp.maximum(0, 1 + (new_total - length) // step_sz)
         emitted = jnp.maximum(state.frame_base, 0)
         lead = jnp.maximum(0, -state.frame_base)  # initial zero-carry frames
         # per-row shift-out of the zero-carry preamble (rows are independent)
         idx = jnp.minimum(jnp.arange(fb)[None, :] + lead[:, None], fb - 1)
         feats = jnp.take_along_axis(feats, idx[..., None], axis=1)
-        n_new = jnp.clip(total_frames - emitted, 0, fb)  # [B]
+        n_new = jnp.clip(total_frames - emitted, 0, fb)  # [B] new base frames
 
-        xs = feats
+        new_carry_f, new_carry_len = state.frame_carry, state.carry_len
+        if stacked:
+            # ---- stacked-window assembly (bit-identical to offline
+            # data/frame_ops.stack_frames: window j covers base frames
+            # [j*skip, j*skip + stack), zero-padded past the stream end).
+            # Invariant: frame_carry holds exactly the base frames from the
+            # next unemitted window's start, so local window j starts at
+            # j*skip in concat(carry, new_frames).
+            s, sk = n_stack, n_skip
+            v = state.carry_len + n_new  # [B] valid base frames buffered
+            buf_f = jnp.concatenate([state.frame_carry, feats], axis=1)
+            bf = buf_f.shape[1]  # s-1+fb
+            # carry is stored right-aligned; shift left so valid is [0, v)
+            shift = (s - 1) - state.carry_len
+            fidx = jnp.minimum(jnp.arange(bf)[None, :] + shift[:, None], bf - 1)
+            aligned = jnp.take_along_axis(buf_f, fidx[..., None], axis=1)
+            aligned = aligned * (jnp.arange(bf)[None, :, None] < v[:, None, None])
+            f_s = bf // sk + 1  # static stacked-window capacity
+            need = (f_s - 1) * sk + s
+            if need > bf:
+                aligned = jnp.pad(aligned, ((0, 0), (0, need - bf), (0, 0)))
+            widx = np.arange(f_s)[:, None] * sk + np.arange(s)[None, :]
+            xs_in = aligned[:, widx, :].reshape(aligned.shape[0], f_s, s * feat_dim)
+            # complete windows mid-stream; ceil(v/skip) zero-padded at end
+            s_complete = jnp.maximum(0, (v - s) // sk + 1)
+            s_flush = -(-v // sk)
+            n_enc = jnp.where(is_final, s_flush, s_complete)
+            consumed = n_enc * sk
+            new_carry_len = jnp.where(is_final, 0, jnp.clip(v - consumed, 0, s - 1))
+            # re-pack the remainder right-aligned for the next step
+            pos = jnp.arange(s - 1)[None, :]
+            src = consumed[:, None] + pos - ((s - 1) - new_carry_len)[:, None]
+            src = jnp.clip(src, 0, aligned.shape[1] - 1)
+            new_carry_f = jnp.take_along_axis(aligned, src[..., None], axis=1)
+            new_carry_f = new_carry_f * (pos >= (s - 1 - new_carry_len)[:, None])[..., None]
+            touched = active | explicit_final
+            new_carry_f = jnp.where(touched[:, None, None], new_carry_f, state.frame_carry)
+            new_carry_len = jnp.where(touched, new_carry_len, state.carry_len)
+            f_frames = f_s
+        else:
+            xs_in, n_enc, f_frames = feats, n_new, fb
+
+        xs = xs_in
         new_rnn = []
         for layer, p in enumerate(params["encoder"]["layers"]):
             xs, carry = rnn_scan(
-                p, spec, xs, n_new, initial_state=state.rnn_states[layer]
+                p, spec, xs, n_enc, initial_state=state.rnn_states[layer]
             )
             new_rnn.append(carry)
         if cfg.bottleneck_dim:
             xs = _affine(params["bottleneck"], xs)
-        logits = _affine(params["head"], xs)  # [B, Fb, C+1]
+        logits = _affine(params["head"], xs)  # [B, F, C+1]
 
         ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        valid = jnp.arange(fb)[None, :] < n_new[:, None]
+        valid = jnp.arange(f_frames)[None, :] < n_enc[:, None]
         prev = jnp.concatenate([state.prev_id[:, None], ids[:, :-1]], axis=1)
         keep = valid & (ids != prev) & (ids != cfg.blank_id)
         pos = jnp.cumsum(keep, axis=1) - 1
-        pos = jnp.where(keep, pos, fb)
+        pos = jnp.where(keep, pos, f_frames)
 
         def compact(row_ids, row_pos):
-            return jnp.full((fb,), -1, row_ids.dtype).at[row_pos].set(
+            return jnp.full((f_frames,), -1, row_ids.dtype).at[row_pos].set(
                 row_ids, mode="drop"
             )
 
         tokens = jax.vmap(compact)(ids, pos)
         tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
 
-        last = jnp.clip(n_new - 1, 0, fb - 1)
+        last = jnp.clip(n_enc - 1, 0, f_frames - 1)
         last_id = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]
-        new_prev = jnp.where(n_new > 0, last_id, state.prev_id)
+        new_prev = jnp.where(n_enc > 0, last_id, state.prev_id)
 
         new_beam = state.beam
         if beam_width > 1:
             from .decoding.ctc_prefix_beam import beam_advance
 
             # the rolled logits' valid prefix is exactly the new frames; the
-            # shared per-frame body freezes rows past n_new, so chunking
+            # shared per-frame body freezes rows past n_enc, so chunking
             # composes to the identical offline beam
             new_beam = beam_advance(
-                state.beam, logits, n_new, cfg.blank_id,
+                state.beam, logits, n_enc, cfg.blank_id,
                 top_k_classes=top_k_classes,
             )
 
@@ -247,6 +323,8 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
             rnn_states=tuple(new_rnn),
             prev_id=new_prev,
             beam=new_beam,
+            frame_carry=new_carry_f,
+            carry_len=new_carry_len,
         )
         return new_state, tokens, tok_len
 

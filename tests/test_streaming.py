@@ -52,6 +52,15 @@ def _stream_all(task, params, wav, wav_len, chunk):
         tokens, tok_len = np.asarray(tokens), np.asarray(tok_len)
         for i in range(b):
             toks[i].extend(tokens[i, : tok_len[i]].tolist())
+    if task.num_stack > 1 or task.num_skip > 1:
+        # stacked streams ending on an exact chunk boundary flush explicitly
+        cl = np.where(np.asarray(wav_len) % chunk == 0, -1, 0).astype(np.int32)
+        state, tokens, tok_len = step_fn(
+            state, jnp.zeros((b, chunk), jnp.float32), jnp.asarray(cl)
+        )
+        tokens, tok_len = np.asarray(tokens), np.asarray(tok_len)
+        for i in range(b):
+            toks[i].extend(tokens[i, : tok_len[i]].tolist())
     return toks
 
 
@@ -105,8 +114,10 @@ def test_streaming_validation_errors():
         )
     with pytest.raises(ValueError, match="multiple of the hop"):
         build_streaming_fn(base, params, 1000)
-    with pytest.raises(ValueError, match="num_stack"):
-        build_streaming_fn(base._replace(num_stack=3, num_skip=3), params, 1600)
+    with pytest.raises(ValueError, match="splice"):
+        build_streaming_fn(base._replace(splice=2), params, 1600)
+    with pytest.raises(ValueError, match="num_skip"):
+        build_streaming_fn(base._replace(num_stack=2, num_skip=3), params, 1600)
 
 
 def test_carry_samples():
@@ -237,3 +248,33 @@ def test_streaming_beam_equals_offline_beam():
     np.testing.assert_array_equal(got_l, want_l)
     np.testing.assert_array_equal(got_p, want_p)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("stack,skip", [(3, 3), (2, 2), (3, 1)])
+def test_streaming_stacked_equals_offline(stack, skip):
+    """Frame-stacked streaming (v2, VERDICT r2 #6) emits exactly the offline
+    stacked decode, including zero-padded tail windows at stream end."""
+    task = _task()._replace(num_stack=stack, num_skip=skip)
+    params = ctc_task.init_params(jax.random.PRNGKey(2), task)
+    rng = np.random.RandomState(2)
+    b, n = 4, 16000
+    wav = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    # exact-boundary end (needs the explicit -1 flush), two mid-chunk ends,
+    # and a short stream
+    wav_len = jnp.asarray([n, 9600, 4640, 2000], jnp.int32)
+
+    want_ids, want_len = (np.asarray(x) for x in _offline(task, params, wav, wav_len))
+    got = _stream_all(task, params, wav, wav_len, chunk=3200)
+    for i in range(b):
+        assert got[i] == want_ids[i, : want_len[i]].tolist(), f"row {i}"
+
+
+def test_streaming_stacked_chunk_size_invariance():
+    task = _task()._replace(num_stack=3, num_skip=3)
+    params = ctc_task.init_params(jax.random.PRNGKey(3), task)
+    rng = np.random.RandomState(3)
+    wav = jnp.asarray(rng.randn(2, 12800).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([12800, 8000], jnp.int32)
+    a = _stream_all(task, params, wav, wav_len, chunk=1600)
+    c = _stream_all(task, params, wav, wav_len, chunk=6400)
+    assert a == c
