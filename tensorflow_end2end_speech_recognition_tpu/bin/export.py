@@ -80,18 +80,23 @@ def main(argv=None):
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"label_type": exp.label_type,
                         "sample_rate": task.frontend.sample_rate},
+            beam_width=args.beam_width,
         )
         print(f"exported epoch-{epoch} streaming {exp.model_type}/"
-              f"{exp.encoder_type} chunk {chunk} samples -> {out} "
-              f"({out.stat().st_size / 1e6:.1f} MB)")
+              f"{exp.encoder_type} chunk {chunk} samples beam "
+              f"{args.beam_width} -> {out} ({out.stat().st_size / 1e6:.1f} MB)")
         if args.selfcheck:
-            state, step = load_streaming(out)
+            state, step, finalize = load_streaming(out)
             zeros = np.zeros((args.batch, chunk), np.float32)
             lens = np.full((args.batch,), chunk, np.int32)
             state, tokens, n = step(state, zeros, lens)
             state, tokens, n = step(state, zeros, lens)
-            print(f"selfcheck ok: tokens {np.asarray(tokens).shape}, "
-                  f"counts {np.asarray(n).tolist()}")
+            msg = (f"selfcheck ok: tokens {np.asarray(tokens).shape}, "
+                   f"counts {np.asarray(n).tolist()}")
+            if finalize is not None:
+                pref, flen, _ = finalize(state)
+                msg += f", beam final {np.asarray(pref).shape}"
+            print(msg)
         return
 
     if task.frontend is not None:

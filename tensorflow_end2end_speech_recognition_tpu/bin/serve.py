@@ -176,7 +176,7 @@ def _make_stream_server(artifact_path, meta, host, port, warmup,
     """Session API over a frozen streaming artifact (``StreamingEngine``)."""
     from ..serving import StreamingEngine, load_streaming
 
-    state0, step = load_streaming(artifact_path)
+    state0, step, finalize = load_streaming(artifact_path)
     chunk = meta["chunk_samples"]
     b = meta["batch_size"]
     if warmup:
@@ -186,10 +186,15 @@ def _make_stream_server(artifact_path, meta, host, port, warmup,
         _, _, n = step(state0, np.zeros((b, chunk), np.float32),
                        np.zeros((b,), np.int32))
         float(np.asarray(n).sum())
+        if finalize is not None:  # pre-compile the beam finalize too
+            _, fl, _ = finalize(state0)
+            float(np.asarray(fl).sum())
         print(f"warmup: compiled + ran in {_time.perf_counter() - t0:.1f} s",
               flush=True)
     engine = StreamingEngine(state0, step, b, chunk, tick_ms=max_wait_ms,
-                             session_timeout_s=session_timeout_s)
+                             session_timeout_s=session_timeout_s,
+                             finalize=finalize,
+                             final_flush=bool(meta.get("final_flush")))
 
     class Handler(_BaseHandler):
         def _tokens_resp(self, toks):
@@ -220,10 +225,12 @@ def _make_stream_server(artifact_path, meta, host, port, warmup,
                     audio = self._read_audio(raw)
                     self._json(200, self._tokens_resp(engine.feed(sid, audio)))
                 elif url.path == "/stream/end":
-                    self._json(
-                        200,
-                        self._tokens_resp(engine.end(sid, request_timeout_s)),
-                    )
+                    resp = self._tokens_resp(engine.end(sid, request_timeout_s))
+                    if finalize is not None:
+                        # beam artifact: these ids are the COMPLETE final
+                        # transcript, superseding the live greedy partials
+                        resp["final"] = True
+                    self._json(200, resp)
                 else:
                     self._json(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — mapped to 400/503/500

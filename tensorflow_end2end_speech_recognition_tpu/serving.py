@@ -179,6 +179,9 @@ def export_streaming_model(
     tokenizer=None,
     platforms: tuple | None = None,
     extra_meta: dict | None = None,
+    beam_width: int = 1,
+    top_k_classes: int = 16,
+    max_prefix_len: int = 200,
 ) -> Path:
     """Freeze the streaming chunk step (``streaming.build_streaming_fn``).
 
@@ -187,10 +190,23 @@ def export_streaming_model(
     pytree definition): the artifact's program is
     ``(state_leaves, chunk [B, C], chunk_len [B]) ->
     (state_leaves', tokens [B, F], tok_len [B])``.
+
+    ``beam_width > 1`` freezes the carried-prefix-beam step instead (VERDICT
+    r2 #3): the chunk step advances the beam across chunks while still
+    emitting greedy partials live, and a SECOND frozen program — written to
+    ``<out>.final`` — maps the state leaves to the final beam result
+    ``(prefixes [B, W, L], lengths [B, W], scores [B, W])``, to be invoked
+    once at stream end. Frame-stacked tasks set ``"final_flush": true`` in
+    the contract: the driver must send ``chunk_len = -1`` at an
+    exact-chunk-boundary stream end (``streaming.py`` docstring).
     """
     from .streaming import build_streaming_fn
 
-    init_fn, step_fn = build_streaming_fn(task, params, chunk_samples)
+    fns = build_streaming_fn(
+        task, params, chunk_samples, beam_width=beam_width,
+        top_k_classes=top_k_classes, max_prefix_len=max_prefix_len,
+    )
+    init_fn, step_fn = fns[0], fns[1]
     state0 = init_fn(batch_size)
     leaves0, treedef = jax.tree.flatten(state0)
 
@@ -208,11 +224,28 @@ def export_streaming_model(
     )
     out_path = Path(out_path)
     out_path.write_bytes(exported.serialize())
+    if beam_width > 1:
+        finalize_fn = fns[2]
+
+        def flat_finalize(leaves):
+            return finalize_fn(jax.tree.unflatten(treedef, leaves))
+
+        exported_final = jax_export.export(jax.jit(flat_finalize), **kwargs)(specs)
+        out_path.with_suffix(out_path.suffix + ".final").write_bytes(
+            exported_final.serialize()
+        )
+    stacked = task.num_stack > 1 or task.num_skip > 1
+    base_frames = chunk_samples // task.frontend.frame_step
     meta = {
         "streaming": True,
         "batch_size": batch_size,
         "chunk_samples": chunk_samples,
-        "frames_per_chunk": chunk_samples // task.frontend.frame_step,
+        "frames_per_chunk": (  # token-output width per step (streaming.py f_s)
+            (task.num_stack - 1 + base_frames) // task.num_skip + 1
+            if stacked else base_frames
+        ),
+        "beam_width": beam_width,
+        "final_flush": stacked,
         "state_leaves": [
             {"shape": list(x.shape), "dtype": str(x.dtype)} for x in leaves0
         ],
@@ -233,15 +266,31 @@ def export_streaming_model(
     out_path.with_suffix(out_path.suffix + ".json").write_text(
         json.dumps(meta, indent=2)
     )
+    # leaves the .json constant mechanism above can't rebuild — non-uniform
+    # values like the beam state's per-slot sentinel hashes and its
+    # one-live-slot pb row — ship as an exact sidecar (loader prefers it)
+    def _const_ok(x):
+        a = np.asarray(x)
+        return a.size == 0 or bool((a == a.ravel()[0]).all())
+
+    if not all(_const_ok(x) for x in leaves0):
+        np.savez(
+            out_path.with_suffix(out_path.suffix + ".state0.npz"),
+            **{str(i): np.asarray(x) for i, x in enumerate(leaves0)},
+        )
     return out_path
 
 
 def load_streaming(path: str | Path):
-    """Load a streaming artifact; returns ``(state0_leaves, step_fn)``.
+    """Load a streaming artifact; returns ``(state0_leaves, step_fn, finalize)``.
 
     ``step_fn(state_leaves, chunk, chunk_len)`` returns
     ``(state_leaves', tokens, tok_len)``; thread the leaves through calls.
     The zero initial state is rebuilt from the ``.json`` contract.
+    ``finalize`` is None for greedy artifacts; for beam artifacts
+    (``beam_width > 1`` at export) it is ``finalize(state_leaves) ->
+    (prefixes [B, W, L], lengths [B, W], scores [B, W])``, loaded from the
+    sibling ``<path>.final`` program.
     """
     path = Path(path)
     meta = json.loads(path.with_suffix(path.suffix + ".json").read_text())
@@ -249,10 +298,18 @@ def load_streaming(path: str | Path):
         raise ValueError(f"{path} is not a streaming artifact")
     exported = jax_export.deserialize(path.read_bytes())
     call = jax.jit(exported.call)
-    state0 = [jnp.zeros(s["shape"], s["dtype"]) for s in meta["state_leaves"]]
-    for i, v in meta.get("state_init", {}).items():
-        s = meta["state_leaves"][int(i)]
-        state0[int(i)] = jnp.full(s["shape"], v, s["dtype"])
+    state0_path = path.with_suffix(path.suffix + ".state0.npz")
+    if state0_path.exists():
+        # non-constant initial leaves (the beam state's per-slot sentinel
+        # hashes and one-live-slot pb row) can't be rebuilt from the .json
+        # contract alone — load the exact exported initial state
+        with np.load(state0_path) as z:
+            state0 = [jnp.asarray(z[str(i)]) for i in range(len(meta["state_leaves"]))]
+    else:
+        state0 = [jnp.zeros(s["shape"], s["dtype"]) for s in meta["state_leaves"]]
+        for i, v in meta.get("state_init", {}).items():
+            s = meta["state_leaves"][int(i)]
+            state0[int(i)] = jnp.full(s["shape"], v, s["dtype"])
 
     def step(state_leaves, chunk, chunk_len):
         return call(
@@ -261,7 +318,15 @@ def load_streaming(path: str | Path):
             jnp.asarray(chunk_len, jnp.int32),
         )
 
-    return state0, step
+    finalize = None
+    final_path = path.with_suffix(path.suffix + ".final")
+    if meta.get("beam_width", 1) > 1 and final_path.exists():
+        final_call = jax.jit(jax_export.deserialize(final_path.read_bytes()).call)
+
+        def finalize(state_leaves):  # noqa: F811 — the beam variant
+            return final_call(state_leaves)
+
+    return state0, step, finalize
 
 
 class StreamingEngine:
@@ -281,7 +346,8 @@ class StreamingEngine:
     """
 
     def __init__(self, state0_leaves, step, batch_size: int, chunk_samples: int,
-                 tick_ms: float = 5.0, session_timeout_s: float = 300.0):
+                 tick_ms: float = 5.0, session_timeout_s: float = 300.0,
+                 finalize=None, final_flush: bool = False):
         self._state0 = [jnp.asarray(x) for x in state0_leaves]
         self._state = list(self._state0)
         self._step = step
@@ -289,6 +355,13 @@ class StreamingEngine:
         self._chunk = chunk_samples
         self._tick = tick_ms / 1e3
         self._session_timeout = session_timeout_s
+        # beam artifacts: finalize(state) -> (prefixes, lengths, scores);
+        # end() then returns the stream's FINAL beam transcript (the live
+        # per-chunk tokens remain greedy partials, revisable until the end)
+        self._finalize = finalize
+        # stacked streams need the explicit chunk_len=-1 end-of-stream flush
+        # when they end on an exact chunk boundary (streaming.py docstring)
+        self._final_flush = final_flush
         self._lock = threading.Lock()
         self._slots = [None] * batch_size  # session dicts (or None)
         self._sessions: dict[str, int] = {}
@@ -330,7 +403,12 @@ class StreamingEngine:
         return out
 
     def end(self, sid: str, timeout: float = 60.0) -> list:
-        """Flush remaining audio; returns the final tokens and frees the slot."""
+        """Flush remaining audio; returns the final tokens and frees the slot.
+
+        Greedy engines return the tokens emitted since the last ``feed``;
+        beam engines (``finalize`` set) return the stream's COMPLETE final
+        beam transcript, superseding all greedy partials delivered live.
+        """
         with self._lock:
             i = self._sessions[sid]
             slot = self._slots[i]
@@ -346,6 +424,8 @@ class StreamingEngine:
             raise TimeoutError("stream flush timed out")
         with self._lock:
             out = slot["pending"]
+            if self._finalize is not None and slot.get("final") is not None:
+                out = slot["final"]
             err = slot.get("error")
             self._slots[i] = None
             del self._sessions[sid]
@@ -382,7 +462,10 @@ class StreamingEngine:
                         work.append((i, s["buf"][:c], c))
                         s["buf"] = s["buf"][c:]
                     elif s["ending"] and not s["flushed"].is_set():
-                        work.append((i, s["buf"], len(s["buf"])))
+                        n = len(s["buf"])
+                        # stacked stream ending on an exact chunk boundary:
+                        # chunk_len=-1 tells the step to flush tail windows
+                        work.append((i, s["buf"], -1 if n == 0 and self._final_flush else n))
                         s["buf"] = np.zeros((0,), np.float32)
                 if resets:
                     for i in resets:
@@ -415,17 +498,50 @@ class StreamingEngine:
                             s["error"] = e
                             s["flushed"].set()
                 continue
+            newly_flushed = []
             with self._lock:
                 for i, _, n in work:
                     s = self._slots[i]
                     if s is None:
                         continue
                     s["pending"].extend(int(t) for t in toks[i, : nn[i]])
+                    done = False
                     if n < c and s["ending"]:
-                        s["flushed"].set()
-                    elif s["ending"] and len(s["buf"]) == 0 and n == c:
+                        done = True
+                    elif (s["ending"] and len(s["buf"]) == 0 and n == c
+                          and not self._final_flush):
                         # ended exactly on a chunk boundary: nothing to flush
-                        s["flushed"].set()
+                        # (final_flush artifacts instead get a -1 step next
+                        # tick to emit their held-back stacked tail windows)
+                        done = True
+                    if done:
+                        if self._finalize is None:
+                            s["flushed"].set()
+                        else:
+                            newly_flushed.append(i)
+            if newly_flushed:
+                # beam artifact: one finalize call maps the carried beam
+                # state to the finished streams' final transcripts (still on
+                # this worker thread — all device work stays serialized)
+                try:
+                    pref, flen, _scores = self._finalize(self._state)
+                    pref, flen = np.asarray(pref), np.asarray(flen)
+                except Exception as e:  # device error: fail those sessions
+                    with self._lock:
+                        for i in newly_flushed:
+                            s = self._slots[i]
+                            if s is not None:
+                                s["error"] = e
+                                s["flushed"].set()
+                else:
+                    with self._lock:
+                        for i in newly_flushed:
+                            s = self._slots[i]
+                            if s is not None:
+                                s["final"] = [
+                                    int(t) for t in pref[i, 0, : flen[i, 0]]
+                                ]
+                                s["flushed"].set()
 
 
 class MicroBatcher:

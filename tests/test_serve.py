@@ -322,3 +322,76 @@ def test_streaming_engine_flush_timeout_frees_slot():
     finally:
         release.set()
         eng.stop()
+
+
+def test_http_streaming_beam_sessions(tmp_path):
+    """Live sessions over a frozen streaming-BEAM artifact: /stream/end
+    returns the final beam transcript equal to the offline prefix beam
+    (VERDICT r2 #1/#3)."""
+    from tensorflow_end2end_speech_recognition_tpu.bin.serve import make_server
+    from tensorflow_end2end_speech_recognition_tpu.decoding import (
+        ctc_prefix_beam_search,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import apply_ctc
+    from tensorflow_end2end_speech_recognition_tpu.serving import export_streaming_model
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = ctc_task.CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = ctc_task.init_params(jax.random.PRNGKey(5), task)
+    chunk, W, K, L = 1600, 4, 5, 40
+    out = export_streaming_model(
+        task, params, tmp_path / "sb.shlo", 2, chunk, tokenizer=_Units(),
+        extra_meta={"label_type": "phone61"},
+        beam_width=W, top_k_classes=K, max_prefix_len=L,
+    )
+
+    rng = np.random.RandomState(6)
+    wavs = [
+        (rng.randn(3 * chunk + 700) * 0.3).astype(np.float32),  # partial tail
+        (rng.randn(2 * chunk) * 0.3).astype(np.float32),  # exact boundary
+    ]
+    want = []
+    for w in wavs:
+        feats, fl = device_pipeline(
+            task,
+            {"inputs": jnp.asarray(w[None]),
+             "input_len": jnp.asarray([len(w)], np.int32)},
+        )
+        o = apply_ctc(params, task.model, feats, fl)
+        p, l, _ = ctc_prefix_beam_search(
+            o.logits, o.logit_len, task.model.blank_id,
+            beam_width=W, top_k_classes=K, max_prefix_len=L,
+        )
+        want.append(np.asarray(p)[0, 0, : int(np.asarray(l)[0, 0])].tolist())
+
+    server = make_server(out, port=0)
+    assert server.meta["beam_width"] == W
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conns = [http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+                 for _ in range(2)]
+        sids = []
+        for c in conns:
+            c.request("POST", "/stream/start", b"")
+            sids.append(json.loads(c.getresponse().read())["session"])
+        for i, c in enumerate(conns):
+            c.request("POST", "/stream/audio?session=" + sids[i],
+                      wavs[i].tobytes(),
+                      {"Content-Type": "application/octet-stream"})
+            json.loads(c.getresponse().read())
+        for i, c in enumerate(conns):
+            c.request("POST", "/stream/end?session=" + sids[i], b"")
+            r = json.loads(c.getresponse().read())
+            assert r.get("final") is True
+            assert r["ids"] == want[i], f"session {i}"
+    finally:
+        server.shutdown()
+        server.batcher.stop()

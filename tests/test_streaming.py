@@ -140,7 +140,8 @@ def test_streaming_export_roundtrip(tmp_path):
     want = _stream_all(task, params, wav, wav_len, chunk)
 
     out = export_streaming_model(task, params, tmp_path / "s.shlo", b, chunk)
-    state, step = load_streaming(out)
+    state, step, finalize = load_streaming(out)
+    assert finalize is None  # greedy artifact
     got = [[] for _ in range(b)]
     wav_np = np.asarray(wav)
     for k in range(3):
@@ -278,3 +279,52 @@ def test_streaming_stacked_chunk_size_invariance():
     a = _stream_all(task, params, wav, wav_len, chunk=1600)
     c = _stream_all(task, params, wav, wav_len, chunk=6400)
     assert a == c
+
+
+def test_streaming_beam_export_roundtrip(tmp_path):
+    """Frozen streaming-beam artifact: step + finalize programs reproduce
+    the offline prefix beam exactly (VERDICT r2 #3)."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding import ctc_prefix_beam_search
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import apply_ctc
+    from tensorflow_end2end_speech_recognition_tpu.serving import (
+        export_streaming_model,
+        load_streaming,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(7), task)
+    rng = np.random.RandomState(7)
+    b, chunk = 2, 1600
+    wav = np.asarray(rng.randn(b, 3 * chunk).astype(np.float32) * 0.3)
+    wav_len = np.asarray([3 * chunk, 2 * chunk - 800], np.int32)
+    W, K, L = 4, 5, 40
+
+    feats, fl = device_pipeline(
+        task, {"inputs": jnp.asarray(wav), "input_len": jnp.asarray(wav_len)}
+    )
+    out_logits = apply_ctc(params, task.model, feats, fl)
+    want_p, want_l, want_s = (
+        np.asarray(x)
+        for x in ctc_prefix_beam_search(
+            out_logits.logits, out_logits.logit_len, task.model.blank_id,
+            beam_width=W, top_k_classes=K, max_prefix_len=L,
+        )
+    )
+
+    out = export_streaming_model(
+        task, params, tmp_path / "sb.shlo", b, chunk,
+        beam_width=W, top_k_classes=K, max_prefix_len=L,
+    )
+    assert out.with_suffix(out.suffix + ".final").exists()
+    state, step, finalize = load_streaming(out)
+    assert finalize is not None
+    for k in range(3):
+        cl = np.clip(wav_len - k * chunk, 0, chunk).astype(np.int32)
+        state, _, _ = step(state, wav[:, k * chunk : (k + 1) * chunk], cl)
+    got_p, got_l, got_s = (np.asarray(x) for x in finalize(state))
+    np.testing.assert_array_equal(got_p, want_p)
+    np.testing.assert_array_equal(got_l, want_l)
+    # the frozen programs are compiled separately from the in-process jit:
+    # hypotheses/ranks are exact; scores carry ~3e-4 fusion-order drift
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-3)
