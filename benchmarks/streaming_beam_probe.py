@@ -1,10 +1,20 @@
 """Isolate the streaming-BEAM per-chunk cost (round-2 anomaly: 832 ms/chunk).
 
-Times, on the production-shaped causal model (4xLSTM-512 char CTC):
-  1. greedy streaming step        (baseline: ~2-3 ms in round 2)
-  2. beam streaming step          (what measured 832 ms in round 2)
+RESOLVED (round 3): the cost was never dispatch — ``beam_init`` shipped
+weak-typed pb/pnb leaves, so the FIRST advance changed their avals
+(weak->strong) and every jitted driver that threads the state compiled its
+chunk program twice; the remote backend's multi-second second compile,
+divided by the benchmark's iteration count, read as "832 ms/chunk".
+With explicit dtypes the threaded beam step measures ~1.5 ms/chunk.
+
+Times, on the production-shaped causal model (4xLSTM-512 char CTC), with
+the state THREADED through every step exactly like a real stream driver:
+  1. greedy streaming step
+  2. beam streaming step
   3. a no-op jit over the same beam StreamState pytree (pure dispatch cost)
-  4. beam_advance alone on precomputed chunk logits (pure beam compute)
+  4. beam_advance alone on precomputed chunk logits (pure beam compute;
+     logits passed as an argument — closing over them lets XLA fold the
+     candidate generation and report pure dispatch)
 
 Usage:  python benchmarks/streaming_beam_probe.py [B] [W]
 """
@@ -38,43 +48,38 @@ ck = jnp.asarray(rng.randn(B, CHUNK).astype(np.float32) * 0.1)
 cl = jnp.full((B,), CHUNK, jnp.int32)
 
 
-def bench(fn, *args, n=ITERS, sync=None):
-    out = fn(*args)
-    (sync or (lambda o: float(jnp.sum(o[-1]))))(out)
+def bench_threaded(step, state, sync, n=ITERS):
+    """Thread state -> next call, as a real stream driver does."""
+    state = step(state)
+    sync(state)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    (sync or (lambda o: float(jnp.sum(o[-1]))))(out)
-    return (time.perf_counter() - t0) / n * 1e3, out
+        state = step(state)
+    sync(state)
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 # 1. greedy step
 gi, gs = build_streaming_fn(task, params, CHUNK)
 gstep = jax.jit(gs)
-state_g = gi(B)
-ms, out = bench(lambda s: gstep(s, ck, cl), state_g)
+ms = bench_threaded(lambda s: gstep(s, ck, cl)[0], gi(B),
+                    lambda s: float(jnp.sum(s.samples_seen)))
 print(f"1. greedy step           B={B}        {ms:8.2f} ms/chunk", flush=True)
 
 # 2. beam step (state threaded through like the real driver does)
 bi, bs, bf = build_streaming_fn(task, params, CHUNK, beam_width=W)
 bstep = jax.jit(bs)
-state_b = bi(B)
-state_b, t, n = bstep(state_b, ck, cl); float(jnp.sum(n))
-t0 = time.perf_counter()
-for _ in range(ITERS):
-    state_b, t, n = bstep(state_b, ck, cl)
-float(jnp.sum(n))
-ms_b = (time.perf_counter() - t0) / ITERS * 1e3
+ms_b = bench_threaded(lambda s: bstep(s, ck, cl)[0], bi(B),
+                      lambda s: float(jnp.sum(s.beam.lengths)))
 print(f"2. beam step             B={B} W={W}  {ms_b:8.2f} ms/chunk", flush=True)
 
 # 3. dispatch-only: identity-ish jit over the same state pytree
 @jax.jit
 def passthru(state, chunk, chunk_len):
-    leaves = jax.tree.leaves(state)
-    return state, jnp.sum(chunk) + jnp.sum(chunk_len), leaves[0]
+    return jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), state)
 
-sync3 = lambda o: float(o[1])
-ms3, _ = bench(lambda s: passthru(s, ck, cl), state_b, sync=sync3)
+ms3 = bench_threaded(lambda s: passthru(s, ck, cl), bi(B),
+                     lambda s: float(jnp.sum(s.samples_seen)))
 print(f"3. state passthru jit    (beam pytree) {ms3:8.2f} ms/call", flush=True)
 
 # 4. beam_advance alone on precomputed logits (10 frames = one chunk)
@@ -83,8 +88,7 @@ from tensorflow_end2end_speech_recognition_tpu.decoding.ctc_prefix_beam import (
 )
 logits = jnp.asarray(rng.randn(B, CHUNK // 160, 29).astype(np.float32))
 vl = jnp.full((B,), CHUNK // 160, jnp.int32)
-adv = jax.jit(lambda st: beam_advance(st, logits, vl, 28, top_k_classes=16))
-bst = beam_init(B, W, 200)
-sync4 = lambda st: float(jnp.sum(st.lengths))
-ms4, _ = bench(adv, bst, sync=sync4)
+adv = jax.jit(lambda st, lg: beam_advance(st, lg, vl, 28, top_k_classes=16))
+ms4 = bench_threaded(lambda st: adv(st, logits), beam_init(B, W, 200),
+                     lambda st: float(jnp.sum(st.lengths)))
 print(f"4. beam_advance alone    (10 frames)   {ms4:8.2f} ms/call", flush=True)

@@ -94,9 +94,14 @@ def beam_init(
         last=jnp.full((b, w), -1, jnp.int32),
         h1=jnp.broadcast_to(sent1, (b, w)),
         h2=jnp.broadcast_to(sent2, (b, w)),
-        pb=jnp.full((b, w), _NEG).at[:, 0].set(0.0),
-        pnb=jnp.full((b, w), _NEG),
-        lm_score=jnp.zeros((b, w)),
+        # explicit dtypes: a weak-typed leaf here would change aval on the
+        # FIRST advance (weak->strong), so every jitted driver that threads
+        # the state back in would silently compile its program TWICE — on the
+        # remote backend that second compile measured as 100-800 ms/chunk
+        # "dispatch overhead" in streaming-beam sessions (BASELINE.md r3)
+        pb=jnp.full((b, w), _NEG, jnp.float32).at[:, 0].set(0.0),
+        pnb=jnp.full((b, w), _NEG, jnp.float32),
+        lm_score=jnp.zeros((b, w), jnp.float32),
         lm_state=lm_state0,
         lm_logp=lm_logp0,
     )

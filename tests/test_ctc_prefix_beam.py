@@ -183,3 +183,33 @@ def test_carried_fusion_matches_full_recompute():
     # and fusion actually changed the ranking vs no LM somewhere
     p2, _, _ = ctc_prefix_beam_search(*args, beam_width=6, top_k_classes=n_units)
     assert not np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_beam_state_avals_stable_under_threading():
+    """Threading the state through a jitted advance must not retrace.
+
+    beam_init once shipped weak-typed pb/pnb leaves (jnp.full without an
+    explicit dtype); the first advance strengthened them, so every jitted
+    streaming driver compiled its chunk program TWICE — measured as
+    100-800 ms/chunk of phantom "dispatch overhead" on the remote backend
+    (BASELINE.md round 3). Lock the aval stability down.
+    """
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.decoding.ctc_prefix_beam import (
+        beam_advance,
+        beam_init,
+    )
+
+    state = beam_init(2, 4, 30)
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 5, 8), jnp.float32)
+    vl = jnp.full((2,), 5, jnp.int32)
+    adv = jax.jit(lambda st, lg: beam_advance(st, lg, vl, 7))
+    s = adv(state, logits)
+    for name, a, b in zip(state._fields, state, s):
+        if a is None:
+            continue
+        assert a.dtype == b.dtype and a.aval.weak_type == b.aval.weak_type, name
+    s = adv(s, logits)
+    s = adv(s, logits)
+    assert adv._cache_size() == 1
