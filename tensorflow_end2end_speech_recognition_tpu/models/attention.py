@@ -93,7 +93,8 @@ def attend(
     enc_mask: jnp.ndarray,  # [B, T] bool
     dec_state: jnp.ndarray,  # [B, Hd]
     prev_align: jnp.ndarray,  # [B, T]
-    fused: bool = False,  # inference-only Pallas kernel (no grad defined)
+    fused: bool = False,  # Pallas kernel read (differentiable: custom VJP
+    # runs the kernel forward, XLA-reference backward)
 ):
     """One attention read. Returns (context [B, He], align [B, T])."""
     def _fused_fits():
@@ -112,7 +113,7 @@ def attend(
         and jax.default_backend() == "tpu"
         and _fused_fits()
     ):
-        from ..ops.pallas.attention_kernel import location_attend_pallas
+        from ..ops.pallas.attention_kernel import location_attend_fused
 
         keys_in = (
             enc_keys + params["b"]
@@ -120,7 +121,7 @@ def attend(
             else jnp.broadcast_to(params["b"], enc_keys.shape[:2] + (cfg.attention_dim,))
         )
         q = jnp.matmul(dec_state, params["w_dec"], preferred_element_type=jnp.float32)
-        return location_attend_pallas(
+        return location_attend_fused(
             keys_in, enc_out, q, prev_align, enc_mask,
             params["conv"], params["w_loc"], params["v"], cfg.sharpening_factor,
         )

@@ -187,8 +187,16 @@ def forward_train(
         token_gold, key_d, key_s = inp
         use_model = jax.random.bernoulli(key_s, ss, token_gold.shape)
         token = jnp.where(use_model, prev_pred, token_gold)
+        # fused=False here is a MEASURED decision (BASELINE.md round 3): the
+        # differentiable fused read (location_attend_fused, custom VJP) made
+        # this train step 1.9x SLOWER (70.3 vs 36.6 ms at B=32 T=400 H=512)
+        # because under this scan's jax.checkpoint the program runs the
+        # kernel forward twice (fwd + remat rebuild) AND the VJP's reference
+        # recompute once, losing XLA's fwd->bwd residual sharing. The fused
+        # read's 1.69x win is decode-only (greedy/beam paths use it).
         carry, logits = _decoder_step(
-            params, cfg, enc_out, enc_keys, enc_mask, carry, token, key_d, train=train
+            params, cfg, enc_out, enc_keys, enc_mask, carry, token, key_d,
+            train=train,
         )
         pred = jnp.argmax(logits, axis=-1)
         return (carry, pred), (logits, carry[3])

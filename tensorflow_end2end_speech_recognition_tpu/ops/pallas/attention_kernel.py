@@ -15,9 +15,16 @@ window matrix is materialized as W row-shifted copies of the previous
 alignment (row writes, sublane-indexed), so the 1-D convolution becomes a
 single [T, W] x [W, C] matmul instead of T gathers.
 
-Used at decode time for the ``location``/``hybrid`` scorer; semantics match
-``models.attention.attend`` (tested against it). The query projection
-``q = dec_state @ W_dec`` stays outside (tiny batched matmul).
+Used for the ``location``/``hybrid`` scorer at decode time.
+``location_attend_fused`` adds a custom VJP (forward = this kernel,
+backward = autodiff of an XLA restatement of the same math) so the fused
+read is safe to differentiate through. Training does NOT use it — measured
+round 3 (BASELINE.md): under the decoder scan's ``jax.checkpoint`` the
+custom VJP runs the kernel forward twice plus a full reference recompute,
+making the train step 1.9x slower than letting XLA differentiate the
+unfused graph. Semantics match ``models.attention.attend`` (tested against
+it, grads included). The query projection ``q = dec_state @ W_dec`` stays
+outside (tiny batched matmul).
 """
 
 from __future__ import annotations
@@ -165,3 +172,67 @@ def location_attend_pallas(
         interpret=interpret,
     )(keys_p, enc_p, q_p, align_p, mask_p, conv_p, wloc_p, v_p)
     return ctx[:, 0, :h], align[:, 0, :t]
+
+
+def _reference_math(keys_in, enc_out, q, prev_align, enc_mask, conv_w, w_loc,
+                    v, sharpening):
+    """Pure-XLA restatement of the kernel's math (the backward's source).
+
+    Must stay semantically identical to ``_attention_kernel``: keys_in has
+    the bias folded in, the conv is SAME with the (W-1)//2 left offset XLA
+    uses, masking is additive (-1e30) BEFORE the softmax.
+    """
+    f = jax.lax.conv_general_dilated(
+        prev_align[..., None], conv_w,
+        window_strides=(1,), padding="SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )  # [B, T, C]
+    pre = keys_in + jnp.matmul(f, w_loc, preferred_element_type=jnp.float32)
+    pre = pre + q[:, None, :]
+    e = jnp.einsum("bta,a->bt", jnp.tanh(pre), v) * sharpening
+    e = e + jnp.where(enc_mask, 0.0, _NEG)
+    align = jax.nn.softmax(e, axis=-1)
+    ctx = jnp.einsum("bt,bth->bh", align, enc_out)
+    return ctx, align
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def location_attend_fused(keys_in, enc_out, q, prev_align, enc_mask, conv_w,
+                          w_loc, v, sharpening=1.0, interpret=False):
+    """Differentiable fused attention read (forward = the Pallas kernel).
+
+    The backward is ``jax.vjp`` of ``_reference_math`` — plain XLA, one
+    recomputed unfused forward per step — rather than a hand-derived Pallas
+    backward, which is exactly the composition class that crashed the
+    remote compiler in round 2 (BASELINE.md long-sequence notes). This
+    makes any decode-path use safe to differentiate through (e.g. MWER-style
+    losses over beam outputs). The teacher-forced training scan deliberately
+    does NOT route here — measured 1.9x slower there (see module docstring /
+    BASELINE.md round 3).
+    """
+    return location_attend_pallas(
+        keys_in, enc_out, q, prev_align, enc_mask, conv_w, w_loc, v,
+        sharpening, interpret=interpret,
+    )
+
+
+def _fused_fwd(keys_in, enc_out, q, prev_align, enc_mask, conv_w, w_loc, v,
+               sharpening, interpret):
+    out = location_attend_pallas(
+        keys_in, enc_out, q, prev_align, enc_mask, conv_w, w_loc, v,
+        sharpening, interpret=interpret,
+    )
+    return out, (keys_in, enc_out, q, prev_align, enc_mask, conv_w, w_loc, v)
+
+
+def _fused_bwd(sharpening, interpret, res, cts):
+    keys_in, enc_out, q, prev_align, enc_mask, conv_w, w_loc, v = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_math(*a, sharpening), keys_in, enc_out, q,
+        prev_align, enc_mask, conv_w, w_loc, v,
+    )
+    return vjp(cts)  # enc_mask's cotangent is float0 (bool), as required
+
+
+location_attend_fused.defvjp(_fused_fwd, _fused_bwd)
