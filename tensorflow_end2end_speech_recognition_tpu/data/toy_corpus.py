@@ -44,11 +44,17 @@ class ToyCorpus:
     ):
         self.label_type = label_type
         self.sample_rate = sample_rate
+        words = None
         if label_type.startswith(("word", "bpe")):
             # word/subword units need a corpus-derived vocabulary; the toy
-            # corpus supplies a fixed word list (each maps to a formant chord)
+            # corpus supplies a fixed word list (each maps to a formant chord).
+            # Words are repeated in the learning text so BPE pair counts pass
+            # the >=2 threshold and merges are actually learned (a once-each
+            # list degenerates BPE to bare characters).
             words = [f"w{i:02d}" for i in range(40)]
-            self.tokenizer = build_tokenizer(label_type, corpus_texts=[" ".join(words)])
+            self.tokenizer = build_tokenizer(
+                label_type, corpus_texts=[" ".join(words * 3)]
+            )
         else:
             self.tokenizer: Tokenizer = build_tokenizer(label_type)
         rng = np.random.RandomState(seed)
@@ -58,6 +64,17 @@ class ToyCorpus:
         f1 = 200.0 + 3000.0 * rng.permutation(v) / max(v - 1, 1)
         f2 = 500.0 + 3300.0 * rng.permutation(v) / max(v - 1, 1)
         dur = rng.randint(int(0.06 * sample_rate), int(0.12 * sample_rate), size=v)
+        if label_type.startswith(("word", "bpe")):
+            # a word/subword unit is SPOKEN over its characters: scale its
+            # duration with character count (marker ▁ excluded) so toy frame/
+            # label ratios match real speech (~0.08 s per char). Without this
+            # a multi-char unit rendered at single-phone duration makes
+            # stacked+pyramid configs CTC-infeasible on the toy corpus while
+            # they are perfectly feasible on real corpora.
+            n_chars = np.array(
+                [max(1, len(u.lstrip("▁"))) for u in self.tokenizer.units]
+            )
+            dur = dur * n_chars
         self._unit_params = (f1, f2, dur)
         # per-speaker loudness: a multiplicative gain shifts log-features by a
         # speaker-specific constant, which per-speaker CMVN removes exactly
@@ -65,9 +82,19 @@ class ToyCorpus:
         self.utterances: list[Utterance] = []
         for i in range(num_utts):
             n_units = rng.randint(min_units, max_units + 1)
-            ids = rng.randint(0, draw_v, size=n_units).tolist()
+            if label_type.startswith("bpe"):
+                # BPE labels come from ENCODING word sequences (as real
+                # transcripts do), not from uniform draws over the unit
+                # inventory — uniform draws over-represent rare single-char
+                # units that real BPE label sequences almost never contain
+                text = " ".join(
+                    words[j] for j in rng.randint(0, len(words), size=n_units)
+                )
+                ids = self.tokenizer.encode_text(text)
+            else:
+                ids = rng.randint(0, draw_v, size=n_units).tolist()
+                text = " ".join(self.tokenizer.units[j] for j in ids)
             wav = self._render(ids, rng, noise)
-            text = " ".join(self.tokenizer.units[j] for j in ids)
             spk = i % max(num_speakers, 1)
             self.utterances.append(
                 Utterance(
