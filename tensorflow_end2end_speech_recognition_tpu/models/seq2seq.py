@@ -135,12 +135,16 @@ def _init_decoder_carry(cfg: Seq2SeqConfig, enc_out):
 
 
 def encode(params, cfg: Seq2SeqConfig, feats, feat_len, train=False, rng=None):
-    # pallas_t_cap=200: the attention-decoder backward composed with Pallas
-    # encoder kernels crashes the remote compiler already at T=400 (the
-    # all-scan program compiles and runs; toy-scale T<=200 compositions are
-    # fine with the kernels) — BASELINE.md long-sequence notes
+    # pallas_t_cap=800 (was 200): in round 2 the attention-decoder backward
+    # composed with Pallas encoder kernels hard-crashed the remote compiler
+    # at T=400. The round-3 toolchain probe (benchmarks/cap_raise_probe.py)
+    # shows the crash class now errors CLEANLY, and with the bidi backward's
+    # kt=2 (lstm_kernel._BLOCK_T_BIDI_BWD) the composition compiles and runs:
+    # joint BPE flagship 30.9 ms/step (1036 utts/s) vs 35.7 scan-encoder.
+    # 800 matches pallas_fits' per-layer T cap (beyond it scan wins anyway —
+    # measured equal at T=1198, BASELINE.md round 3).
     enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng,
-                        pallas_t_cap=200)
+                        pallas_t_cap=800)
     ctc_logits = ctc_len = None
     if cfg.is_joint:
         ctc_logits = (

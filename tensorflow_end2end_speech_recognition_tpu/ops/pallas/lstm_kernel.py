@@ -437,7 +437,13 @@ def _bidi_bwd_kernel(
 # budget via CompilerParams compiled but caused runtime TPU faults in large
 # programs — keep inside the default)
 _BLOCK_T_BIDI = 4
-_BLOCK_T_BIDI_BWD = 4
+# bwd kt=2, not 4: measured perf-identical (headline bench 693 vs 697
+# utts/s; layer microbench flat at B=64 too — benchmarks/lstm_kt_sweep.py)
+# but kt=4's backward hits an 18.38M > 16M scoped-VMEM overflow when the
+# kernel is compiled inside the attention-decoder training program
+# (round-3 cap_raise_probe; same kernel alone or in the CTC program fits).
+# kt=2 gives every measured composition headroom.
+_BLOCK_T_BIDI_BWD = 2
 
 
 def _bidi_fwd_call(xf, xb, whf, whb, mask_tm, forget_bias: float):
