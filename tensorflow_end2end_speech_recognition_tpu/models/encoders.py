@@ -54,6 +54,9 @@ class EncoderConfig(NamedTuple):
     num_heads: int = 4
     conv_kernel_size: int = 15
     ff_expansion: int = 4
+    # "conv" | "shifts": grouped-conv vs partition-safe depthwise impl —
+    # "shifts" is REQUIRED under 2-D (data x model) meshes (conformer.py)
+    depthwise_impl: str = "conv"
 
     @property
     def bidirectional(self) -> bool:
@@ -93,7 +96,7 @@ class EncoderConfig(NamedTuple):
             dim=self.num_units, num_layers=self.num_layers,
             num_heads=self.num_heads, conv_kernel_size=self.conv_kernel_size,
             ff_expansion=self.ff_expansion, compute_dtype=self.compute_dtype,
-            block=self.encoder_type,
+            block=self.encoder_type, depthwise_impl=self.depthwise_impl,
         )
 
     def spec(self) -> RNNSpec:

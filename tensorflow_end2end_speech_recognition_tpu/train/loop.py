@@ -293,16 +293,23 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         summary = json.loads((Path(model_dir) / "summary.json").read_text())
     start_epoch = 0
     mesh = None
-    if exp.num_devices and exp.num_devices > 1:
-        from ..parallel import make_mesh
+    tp = exp.num_model_shards or 1
+    if (exp.num_devices and exp.num_devices > 1) or tp > 1:
+        from ..parallel import make_mesh, make_mesh_2d
 
-        if exp.batch_size % exp.num_devices:
+        total = exp.num_devices or tp
+        if total % tp:
+            raise ValueError(
+                f"num_devices {total} not divisible by num_model_shards {tp}"
+            )
+        dp = total // tp
+        if exp.batch_size % dp:
             raise ValueError(
                 f"batch_size {exp.batch_size} not divisible by "
-                f"num_devices {exp.num_devices}"
+                f"data-parallel degree {dp} (num_devices/num_model_shards)"
             )
-        mesh = make_mesh(exp.num_devices)
-        print_fn(f"data-parallel over {exp.num_devices} devices "
+        mesh = make_mesh_2d(dp, tp) if tp > 1 else make_mesh(total)
+        print_fn(f"mesh: {dp}-way data x {tp}-way tensor parallel "
                  f"({jax.process_count()} process(es))")
     if ckpts.latest_epoch is not None:
         # crash/restart recovery (SURVEY.md §5.3): restore the FULL training
@@ -331,9 +338,14 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         print_fn(f"resuming from checkpoint epoch {start_epoch - 1}")
     if mesh is not None:
         # after any resume, so restored state is re-placed over the mesh
-        from ..parallel import setup_data_parallel
+        if tp > 1:
+            from ..parallel import setup_tensor_parallel
 
-        params, opt_state, _ = setup_data_parallel(mesh, params, opt_state)
+            params, opt_state, _ = setup_tensor_parallel(mesh, params, opt_state)
+        else:
+            from ..parallel import setup_data_parallel
+
+            params, opt_state, _ = setup_data_parallel(mesh, params, opt_state)
     for epoch in range(start_epoch, exp.num_epoch):
         t0 = time.perf_counter()
         losses = []

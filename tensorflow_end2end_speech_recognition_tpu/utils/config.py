@@ -100,6 +100,10 @@ class ExperimentConfig:
     # num_devices > 1 trains over a 1-D DP mesh: batch sharded over ICI,
     # params/opt-state replicated, gradient psum inserted by XLA.
     num_devices: int | None = None
+    # tensor (model) parallelism: num_model_shards > 1 folds the mesh to
+    # 2-D (data x model) and shards the conformer/transformer block weights
+    # Megatron-style (parallel/tp.py); num_devices stays the TOTAL chips.
+    num_model_shards: int | None = None
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0
@@ -185,6 +189,10 @@ class ExperimentConfig:
         )
 
     def encoder_config(self) -> EncoderConfig:
+        # 2-D (data x model) meshes need the partition-safe depthwise conv:
+        # XLA's SPMD partitioner drops the grouped-conv kernel gradient there
+        # (models/conformer.py ConformerSpec.depthwise_impl)
+        depthwise = "shifts" if (self.num_model_shards or 1) > 1 else "conv"
         return EncoderConfig(
             encoder_type=self.encoder_type,
             num_units=self.num_units,
@@ -201,6 +209,7 @@ class ExperimentConfig:
             conv_kernel_size=self.conv_kernel_size,
             ff_expansion=self.ff_expansion,
             compute_dtype=self.compute_dtype,
+            depthwise_impl=depthwise,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:

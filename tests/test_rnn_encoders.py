@@ -314,3 +314,35 @@ def test_conformer_spec_validation():
         init_conformer(jax.random.PRNGKey(0), ConformerSpec(dim=300, num_heads=8), 8)
     with pytest.raises(ValueError, match="even"):
         init_conformer(jax.random.PRNGKey(0), ConformerSpec(dim=15, num_heads=3), 8)
+
+
+def test_depthwise_impls_equivalent():
+    """The partition-safe 'shifts' depthwise conv (used on 2-D meshes,
+    where the grouped conv's kernel grad silently zeroes — see
+    ConformerSpec.depthwise_impl) is bit-equivalent to the grouped conv,
+    for odd and even kernel widths, in values AND gradients."""
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import (
+        EncoderConfig,
+        apply_encoder,
+        init_encoder,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 10, 12).astype(np.float32))
+    lengths = jnp.asarray([10, 6])
+    for k in (7, 4):
+        cfg = EncoderConfig(encoder_type="conformer", num_units=32, num_layers=2,
+                            num_heads=4, conv_kernel_size=k)
+        cfg_s = cfg._replace(depthwise_impl="shifts")
+        params = init_encoder(jax.random.PRNGKey(0), cfg, 12)
+        out_c = apply_encoder(params, cfg, x, lengths).outputs
+        out_s = apply_encoder(params, cfg_s, x, lengths).outputs
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-5)
+        g_c = jax.grad(lambda p: jnp.sum(apply_encoder(p, cfg, x, lengths).outputs ** 2))(params)
+        g_s = jax.grad(lambda p: jnp.sum(apply_encoder(p, cfg_s, x, lengths).outputs ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
