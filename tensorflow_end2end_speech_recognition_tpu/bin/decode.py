@@ -68,7 +68,23 @@ def main(argv=None):
     batch = next(ds.batches(0))
     jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "names"}
 
-    if is_att:
+    if exp.model_type == "transducer":
+        from ..decoding.transducer_greedy import transducer_greedy_decode
+        from ..models.transducer import encode
+
+        if args.beam_width > 1:
+            print("transducer decode is frame-synchronous greedy; "
+                  "--beam-width ignored")
+
+        @jax.jit
+        def run(params, b):
+            feats, fl = device_pipeline(task, b)
+            out = encode(params, task.model, feats, fl)
+            d, dl = transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
+            return d, dl, jnp.zeros((d.shape[0],))
+
+        hyps, hyp_len, scores = (np.asarray(x) for x in run(params, jb))
+    elif is_att:
         cfg = task.model
 
         @jax.jit

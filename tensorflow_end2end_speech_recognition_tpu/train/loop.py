@@ -31,7 +31,8 @@ from .att_task import AttTaskConfig
 from .lr_controller import LRController
 from .optimizer import build_optimizer
 
-MODEL_TYPES = ("ctc", "multitask_ctc", "attention", "joint_ctc_attention")
+MODEL_TYPES = ("ctc", "multitask_ctc", "attention", "joint_ctc_attention",
+               "transducer")
 
 
 def _attach_sub_labels(utts, exp: ExperimentConfig):
@@ -214,6 +215,33 @@ def build_att_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = N
     )
 
 
+def build_transducer_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None):
+    from ..models.transducer import TransducerConfig
+    from . import transducer_task
+
+    model = TransducerConfig(
+        encoder=exp.encoder_config(),
+        num_classes=tokenizer.num_units,
+        pred_num_units=exp.pred_num_units,
+        pred_num_layers=exp.pred_num_layers,
+        embedding_dim=exp.embedding_dim,
+        joint_dim=exp.joint_dim,
+        parameter_init=exp.parameter_init,
+        pred_dropout_keep_prob=exp.dropout_decoder,
+        max_symbols_per_frame=exp.max_symbols_per_frame,
+    )
+    return transducer_task.TransducerTaskConfig(
+        model=model,
+        frontend=None if feature_dim is not None else exp.frontend_config(),
+        num_stack=exp.num_stack,
+        num_skip=exp.num_skip,
+        splice=exp.splice,
+        weight_decay=exp.weight_decay,
+        spec_augment=_specaug(exp),
+        feature_dim=feature_dim,
+    )
+
+
 def build_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None):
     """(task_config, task_module) for the configured model_type.
 
@@ -225,6 +253,10 @@ def build_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = None)
         raise ValueError(f"unknown model_type {exp.model_type!r}; expected {MODEL_TYPES}")
     if exp.model_type in ("ctc", "multitask_ctc"):
         return build_ctc_task(exp, tokenizer, feature_dim), ctc_task
+    if exp.model_type == "transducer":
+        from . import transducer_task
+
+        return build_transducer_task(exp, tokenizer, feature_dim), transducer_task
     return build_att_task(exp, tokenizer, feature_dim), att_task
 
 

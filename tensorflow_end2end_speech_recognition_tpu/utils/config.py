@@ -76,6 +76,11 @@ class ExperimentConfig:
     # joint CTC-attention
     ctc_loss_weight: float = 0.0
     main_task_weight: float = 0.8
+    # transducer (TPU-first extension; model_type: transducer)
+    pred_num_units: int = 256
+    pred_num_layers: int = 1
+    joint_dim: int = 256
+    max_symbols_per_frame: int = 4
     # augmentation (not in the reference; hook per SURVEY.md §7)
     use_specaugment: bool = False
     freq_mask_width: int = 8
