@@ -73,6 +73,25 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1,
 
         return infer
 
+    from .train.transducer_task import TransducerTaskConfig
+
+    if isinstance(task, TransducerTaskConfig):
+        from .decoding.transducer_greedy import transducer_greedy_decode
+        from .models.transducer import encode
+
+        if beam_width > 1:
+            import warnings
+
+            warnings.warn("transducer serving decodes frame-synchronous "
+                          "greedy; beam_width ignored")
+
+        def infer(inputs, input_len):
+            feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
+            out = encode(params, task.model, feats, fl)
+            return transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
+
+        return infer
+
     from .decoding import attention_beam_search
     from .models.seq2seq import greedy_decode
 
@@ -236,14 +255,17 @@ def export_streaming_model(
         )
     stacked = task.num_stack > 1 or task.num_skip > 1
     base_frames = chunk_samples // task.frontend.frame_step
+    enc_frames = (  # encoder frames per step (streaming.py f_s)
+        (task.num_stack - 1 + base_frames) // task.num_skip + 1
+        if stacked else base_frames
+    )
+    # transducer steps emit up to max_symbols_per_frame tokens per frame
+    sym = getattr(task.model, "max_symbols_per_frame", 1)
     meta = {
         "streaming": True,
         "batch_size": batch_size,
         "chunk_samples": chunk_samples,
-        "frames_per_chunk": (  # token-output width per step (streaming.py f_s)
-            (task.num_stack - 1 + base_frames) // task.num_skip + 1
-            if stacked else base_frames
-        ),
+        "frames_per_chunk": enc_frames * sym,  # token-output width per step
         "beam_width": beam_width,
         "final_flush": stacked,
         "state_leaves": [

@@ -69,12 +69,18 @@ class StreamState(NamedTuple):
     # keeps the v1 artifact state layout unchanged)
     frame_carry: jnp.ndarray | None = None  # [B, num_stack-1, D]
     carry_len: jnp.ndarray | None = None  # [B] valid frames in frame_carry
+    # transducer mode: (g [B, J], prediction-net states) — the carried
+    # decoder context; frame-synchronous greedy continues across chunks
+    # exactly where the previous chunk stopped
+    transducer: tuple | None = None
 
 
-def _validate(task: CTCTaskConfig):
-    if not isinstance(task, CTCTaskConfig):
-        raise ValueError("streaming supports CTC tasks (attention decoders are "
-                         "not causal)")
+def _validate(task):
+    from .train.transducer_task import TransducerTaskConfig
+
+    if not isinstance(task, (CTCTaskConfig, TransducerTaskConfig)):
+        raise ValueError("streaming supports CTC and transducer tasks "
+                         "(attention decoders are not causal)")
     fe = task.frontend
     if fe is None:
         raise ValueError("streaming needs the waveform frontend (precomputed-"
@@ -102,7 +108,7 @@ def _validate(task: CTCTaskConfig):
             f"streaming needs a unidirectional encoder (lstm/gru), got "
             f"{enc.encoder_type!r}"
         )
-    if task.model.num_classes_sub is not None:
+    if isinstance(task, CTCTaskConfig) and task.model.num_classes_sub is not None:
         raise ValueError("streaming decodes the main task only")
 
 
@@ -158,6 +164,14 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
     (they hold nothing back).
     """
     _validate(task)
+    from .train.transducer_task import TransducerTaskConfig
+
+    is_transducer = isinstance(task, TransducerTaskConfig)
+    if is_transducer and beam_width > 1:
+        raise ValueError(
+            "transducer streaming decodes frame-synchronous greedy; the "
+            "carried prefix beam is CTC-only (pass beam_width=1)"
+        )
     fe = task.frontend
     cfg = task.model
     enc_cfg = cfg.encoder
@@ -188,6 +202,11 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
             from .decoding.ctc_prefix_beam import beam_init
 
             beam = beam_init(batch_size, beam_width, max_prefix_len)
+        transducer = None
+        if is_transducer:
+            from .decoding.transducer_greedy import decoder_init
+
+            transducer = decoder_init(params, cfg, batch_size)
         return StreamState(
             sample_carry=jnp.zeros((batch_size, k), jnp.float32),
             samples_seen=jnp.zeros((batch_size,), jnp.int32),
@@ -201,6 +220,7 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
                 if stacked else None
             ),
             carry_len=jnp.zeros((batch_size,), jnp.int32) if stacked else None,
+            transducer=transducer,
         )
 
     from .models.ctc import _affine  # affine head shared with the batch path
@@ -276,40 +296,75 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
                 p, spec, xs, n_enc, initial_state=state.rnn_states[layer]
             )
             new_rnn.append(carry)
-        if cfg.bottleneck_dim:
-            xs = _affine(params["bottleneck"], xs)
-        logits = _affine(params["head"], xs)  # [B, F, C+1]
-
-        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        valid = jnp.arange(f_frames)[None, :] < n_enc[:, None]
-        prev = jnp.concatenate([state.prev_id[:, None], ids[:, :-1]], axis=1)
-        keep = valid & (ids != prev) & (ids != cfg.blank_id)
-        pos = jnp.cumsum(keep, axis=1) - 1
-        pos = jnp.where(keep, pos, f_frames)
-
-        def compact(row_ids, row_pos):
-            return jnp.full((f_frames,), -1, row_ids.dtype).at[row_pos].set(
-                row_ids, mode="drop"
-            )
-
-        tokens = jax.vmap(compact)(ids, pos)
-        tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
-
-        last = jnp.clip(n_enc - 1, 0, f_frames - 1)
-        last_id = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]
-        new_prev = jnp.where(n_enc > 0, last_id, state.prev_id)
 
         new_beam = state.beam
-        if beam_width > 1:
-            from .decoding.ctc_prefix_beam import beam_advance
+        new_transducer = state.transducer
+        if is_transducer:
+            # frame-synchronous greedy continues from the carried (g,
+            # prediction-state): the chunked emissions concatenate to the
+            # offline transducer_greedy_decode exactly (tests assert it)
+            from .decoding.transducer_greedy import decode_frame
+            from .models.transducer import _affine as _affine_t
 
-            # the rolled logits' valid prefix is exactly the new frames; the
-            # shared per-frame body freezes rows past n_enc, so chunking
-            # composes to the identical offline beam
-            new_beam = beam_advance(
-                state.beam, logits, n_enc, cfg.blank_id,
-                top_k_classes=top_k_classes,
+            f_proj = _affine_t(params["enc_proj"], xs)
+            ok = jnp.arange(f_frames)[:, None] < n_enc[None, :]
+
+            def frame(c, inp):
+                f_t, m = inp
+                return decode_frame(params, cfg, c, f_t, m)
+
+            new_transducer, em = jax.lax.scan(
+                frame, state.transducer, (jnp.swapaxes(f_proj, 0, 1), ok)
             )
+            n_sym = cfg.max_symbols_per_frame
+            width = f_frames * n_sym
+            em = jnp.swapaxes(em, 0, 1).reshape(em.shape[1], width)
+            keep = em >= 0
+            pos = jnp.cumsum(keep, axis=1) - 1
+            pos = jnp.where(keep, pos, width)
+
+            def compact_t(row_ids, row_pos):
+                return jnp.full((width,), -1, row_ids.dtype).at[row_pos].set(
+                    row_ids, mode="drop"
+                )
+
+            tokens = jax.vmap(compact_t)(em, pos)
+            tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
+            new_prev = state.prev_id  # unused in transducer mode
+        else:
+            if cfg.bottleneck_dim:
+                xs = _affine(params["bottleneck"], xs)
+            logits = _affine(params["head"], xs)  # [B, F, C+1]
+
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            valid = jnp.arange(f_frames)[None, :] < n_enc[:, None]
+            prev = jnp.concatenate([state.prev_id[:, None], ids[:, :-1]], axis=1)
+            keep = valid & (ids != prev) & (ids != cfg.blank_id)
+            pos = jnp.cumsum(keep, axis=1) - 1
+            pos = jnp.where(keep, pos, f_frames)
+
+            def compact(row_ids, row_pos):
+                return jnp.full((f_frames,), -1, row_ids.dtype).at[row_pos].set(
+                    row_ids, mode="drop"
+                )
+
+            tokens = jax.vmap(compact)(ids, pos)
+            tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
+
+            last = jnp.clip(n_enc - 1, 0, f_frames - 1)
+            last_id = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]
+            new_prev = jnp.where(n_enc > 0, last_id, state.prev_id)
+
+            if beam_width > 1:
+                from .decoding.ctc_prefix_beam import beam_advance
+
+                # the rolled logits' valid prefix is exactly the new frames;
+                # the shared per-frame body freezes rows past n_enc, so
+                # chunking composes to the identical offline beam
+                new_beam = beam_advance(
+                    state.beam, logits, n_enc, cfg.blank_id,
+                    top_k_classes=top_k_classes,
+                )
 
         new_state = StreamState(
             # paused rows keep their carry and frame alignment bit-exactly
@@ -325,6 +380,7 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
             beam=new_beam,
             frame_carry=new_carry_f,
             carry_len=new_carry_len,
+            transducer=new_transducer,
         )
         return new_state, tokens, tok_len
 

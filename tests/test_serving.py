@@ -114,3 +114,33 @@ def test_export_ctc_beam_with_lm_fusion_roundtrip(tmp_path):
     got_ids, got_len = load_exported(out)(inputs, lens)
     np.testing.assert_array_equal(np.asarray(got_len), want_len)
     np.testing.assert_array_equal(np.asarray(got_ids), want_ids)
+
+
+def test_export_transducer_greedy_roundtrip(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6, pred_num_units=8, embedding_dim=4, joint_dim=8,
+            max_symbols_per_frame=2,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(5), task)
+    rng = np.random.RandomState(5)
+    inputs = rng.randn(2, 4096).astype(np.float32) * 0.1
+    lens = np.asarray([4096, 2048], np.int32)
+
+    direct = build_inference_fn(task, transducer_task, params, beam_width=1)
+    want_ids, want_len = (
+        np.asarray(x) for x in direct(jnp.asarray(inputs), jnp.asarray(lens))
+    )
+    out = export_model(task, transducer_task, params, tmp_path / "t.shlo", 2, 4096)
+    infer = load_exported(out)
+    got_ids, got_len = infer(inputs, lens)
+    np.testing.assert_array_equal(got_len, want_len)
+    np.testing.assert_array_equal(got_ids, want_ids)

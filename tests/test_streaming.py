@@ -328,3 +328,139 @@ def test_streaming_beam_export_roundtrip(tmp_path):
     # the frozen programs are compiled separately from the in-process jit:
     # hypotheses/ranks are exact; scores carry ~3e-4 fusion-order drift
     np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-3)
+
+
+def test_transducer_streaming_equals_offline():
+    """Chunked transducer greedy (carried g + prediction state) must emit
+    exactly the offline transducer_greedy_decode tokens."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_greedy import (
+        transducer_greedy_decode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+        encode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=16, num_layers=2),
+            num_classes=6, pred_num_units=16, embedding_dim=8, joint_dim=16,
+            max_symbols_per_frame=3,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(0), task)
+    rng = np.random.RandomState(1)
+    b, n = 3, 16000
+    wav = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([n, 9600, 4640], jnp.int32)
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = encode(params, task.model, feats, fl)
+    want_ids, want_len = (
+        np.asarray(x)
+        for x in transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
+    )
+    got = _stream_all(task, params, wav, wav_len, chunk=3200)
+    for i in range(b):
+        assert got[i] == want_ids[i, : want_len[i]].tolist(), f"row {i}"
+
+
+def test_transducer_streaming_stacked_equals_offline():
+    from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_greedy import (
+        transducer_greedy_decode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+        encode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=16, num_layers=1),
+            num_classes=6, pred_num_units=16, embedding_dim=8, joint_dim=16,
+            max_symbols_per_frame=3,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+        num_stack=3, num_skip=3,
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(0), task)
+    rng = np.random.RandomState(2)
+    b, n = 2, 12800
+    wav = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([n, 7520], jnp.int32)
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = encode(params, task.model, feats, fl)
+    want_ids, want_len = (
+        np.asarray(x)
+        for x in transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
+    )
+    got = _stream_all(task, params, wav, wav_len, chunk=3200)
+    for i in range(b):
+        assert got[i] == want_ids[i, : want_len[i]].tolist(), f"row {i}"
+
+
+def test_transducer_streaming_rejects_beam():
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6, pred_num_units=8, embedding_dim=4, joint_dim=8,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(0), task)
+    with pytest.raises(ValueError, match="greedy"):
+        build_streaming_fn(task, params, 3200, beam_width=4)
+
+
+def test_transducer_streaming_export_roundtrip(tmp_path):
+    """Frozen transducer streaming artifact reproduces the in-process chunked
+    decode (the non-constant initial decoder state rides the npz sidecar)."""
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.serving import (
+        export_streaming_model,
+        load_streaming,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=16, num_layers=1),
+            num_classes=6, pred_num_units=16, embedding_dim=8, joint_dim=16,
+            max_symbols_per_frame=2,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(3), task)
+    rng = np.random.RandomState(3)
+    b, chunk = 2, 3200
+    wav = jnp.asarray(rng.randn(b, 3 * chunk).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([3 * chunk, 2 * chunk - 800], jnp.int32)
+    want = _stream_all(task, params, wav, wav_len, chunk)
+
+    out = export_streaming_model(task, params, tmp_path / "t.shlo", b, chunk)
+    assert out.with_suffix(".shlo.state0.npz").exists()  # g0 is non-constant
+    state, step, finalize = load_streaming(out)
+    assert finalize is None
+    got = [[] for _ in range(b)]
+    wav_np = np.asarray(wav)
+    for k in range(3):
+        lo = k * chunk
+        cl = np.clip(np.asarray(wav_len) - lo, 0, chunk).astype(np.int32)
+        state, tokens, tok_len = step(state, wav_np[:, lo : lo + chunk], cl)
+        tokens, tok_len = np.asarray(tokens), np.asarray(tok_len)
+        for i in range(b):
+            got[i].extend(tokens[i, : tok_len[i]].tolist())
+    assert got == want
