@@ -72,14 +72,18 @@ def main(argv=None):
         from ..decoding.transducer_greedy import transducer_greedy_decode
         from ..models.transducer import encode
 
-        if args.beam_width > 1:
-            print("transducer decode is frame-synchronous greedy; "
-                  "--beam-width ignored")
-
         @jax.jit
         def run(params, b):
             feats, fl = device_pipeline(task, b)
             out = encode(params, task.model, feats, fl)
+            if args.beam_width > 1:
+                from ..decoding.transducer_beam import transducer_beam_search
+
+                res = transducer_beam_search(
+                    params, task.model, out.f_proj, out.enc_len,
+                    beam_width=args.beam_width,
+                )
+                return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
             d, dl = transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
             return d, dl, jnp.zeros((d.shape[0],))
 

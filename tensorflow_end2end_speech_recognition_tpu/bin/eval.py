@@ -69,10 +69,6 @@ def main(argv=None):
     )
     params = state["params"]
     beam_width = args.beam_width if args.beam_width is not None else exp.beam_width
-    if beam_width and beam_width > 1 and exp.model_type == "transducer":
-        print("transducer eval decodes greedy (frame-synchronous); "
-              "beam_width ignored")
-        beam_width = 1
     if beam_width and beam_width > 1:
         if exp.model_type in ("attention", "joint_ctc_attention"):
             eval_step = task_mod.make_beam_eval_step(

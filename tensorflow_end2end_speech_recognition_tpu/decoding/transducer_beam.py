@@ -1,0 +1,162 @@
+"""On-device RNN-T beam search (time-synchronous, batched, static shapes).
+
+Per encoder frame, the beam alternates label expansion and blank
+commitment for up to ``max_symbols`` rounds (the same per-frame budget as
+greedy):
+
+- every live hypothesis proposes ``V`` label extensions (score +=
+  ``lp[k]``, prediction net advances) and one blank commitment (score +=
+  ``lp[blank]``, hypothesis freezes until the next frame);
+- blank-committed candidates merge into the next frame's pool by running
+  top-W; label extensions keep the top-W live set for the next round.
+
+All of it is ``lax.scan`` over frames with a fixed inner round unroll —
+tensors [B, W, ...] throughout, parent prediction-states gathered per
+round with ``take_along_axis`` (the same beam-parent-gather idiom as
+``attention_beam.py``). Identical-prefix merging is intentionally NOT done
+(unlike the CTC prefix beam, where distinct alignments genuinely collapse
+to one prefix): a transducer hypothesis's score is its own alignment path,
+and the standard time-synchronous search (torchaudio, ESPnet default)
+keeps alignments distinct too.
+
+The search is strictly more thorough than greedy: greedy commits the first
+frame-argmax blank, while the beam scores every (label-run + blank)
+termination per frame and keeps the best W — so the top beam hypothesis's
+path score is >= the greedy path's score (tests assert it).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.transducer import (
+    TransducerConfig,
+    joint_logits,
+    pred_initial_states,
+    predict,
+)
+
+_NEG = -1e30
+
+
+class TransducerBeamResult(NamedTuple):
+    tokens: jnp.ndarray  # [B, W, L] -1-padded, best first
+    lengths: jnp.ndarray  # [B, W]
+    scores: jnp.ndarray  # [B, W] log path probability
+
+
+def _flat_pred_step(params, cfg, states, tokens):
+    """Advance the prediction net for [B, W] tokens. states leaves [B, W, H]."""
+    b, w = tokens.shape
+    flat = lambda x: x.reshape(b * w, *x.shape[2:])
+    fs = jax.tree.map(flat, states)
+    g, ns = predict(params, cfg, tokens.reshape(b * w, 1), initial_states=fs)
+    unflat = lambda x: x.reshape(b, w, *x.shape[1:])
+    return unflat(g[:, 0]), jax.tree.map(unflat, ns)
+
+
+def _gather_beam(tree, idx):
+    """Gather beam dim 1 by idx [B, W'] on every [B, W, ...] leaf."""
+
+    def one(x):
+        ix = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, ix, axis=1)
+
+    return jax.tree.map(one, tree)
+
+
+def transducer_beam_search(
+    params,
+    cfg: TransducerConfig,
+    f_proj,  # [B, T, J]
+    enc_len,  # [B]
+    beam_width: int = 8,
+    max_symbols: int | None = None,
+    max_len: int = 200,
+):
+    """Beam search over joint-space encoder activations.
+
+    Returns hypotheses sorted best-first per row; ``scores`` are raw log
+    path probabilities (length normalization is the caller's policy, as in
+    ``attention_beam.py``).
+    """
+    b, t, j = f_proj.shape
+    w = beam_width
+    s = max_symbols or cfg.max_symbols_per_frame
+    blank = cfg.blank_id
+    v1 = cfg.vocab_with_blank
+
+    # initial beam: one live hypothesis (SOS consumed), others dead
+    states0 = pred_initial_states(cfg, b * w)
+    g0, states0 = predict(
+        params, cfg, jnp.full((b * w, 1), blank, jnp.int32), initial_states=states0
+    )
+    unflat = lambda x: x.reshape(b, w, *x.shape[1:])
+    beam0 = {
+        "score": jnp.full((b, w), _NEG).at[:, 0].set(0.0),
+        "g": unflat(g0[:, 0]),
+        "states": jax.tree.map(unflat, states0),
+        "prefix": jnp.full((b, w, max_len), -1, jnp.int32),
+        "plen": jnp.zeros((b, w), jnp.int32),
+    }
+    frame_ok = (jnp.arange(t)[:, None] < enc_len[None, :])  # [T, B]
+
+    def frame(beam, inp):
+        f_t, ok = inp  # [B, J], [B]
+        live = beam  # hypotheses still expanding this frame
+        committed = {k: (v if k != "score" else jnp.full((b, w), _NEG))
+                     for k, v in beam.items()}
+        first = True
+        for _ in range(s):
+            lp = jax.nn.log_softmax(
+                joint_logits(params, f_t[:, None, :], live["g"]), axis=-1
+            )  # [B, W, V+1]
+            # blank commitment -> candidate for the next frame's pool
+            blank_score = live["score"] + lp[..., blank]
+            if first:
+                committed = {**live, "score": blank_score}
+                first = False
+            else:
+                cat = lambda a, bb: jnp.concatenate([a, bb], axis=1)
+                pool = jax.tree.map(cat, committed, {**live, "score": blank_score})
+                _, top = jax.lax.top_k(pool["score"], w)
+                committed = _gather_beam(pool, top)
+            # label expansions -> next round's live set
+            lab = live["score"][..., None] + lp[..., :blank]  # [B, W, V]
+            # hypotheses at the prefix cap stop expanding (score floor)
+            lab = jnp.where((live["plen"] < max_len)[..., None], lab, _NEG)
+            flat_scores = lab.reshape(b, w * (v1 - 1))
+            top_scores, flat_idx = jax.lax.top_k(flat_scores, w)
+            parent = flat_idx // (v1 - 1)
+            token = (flat_idx % (v1 - 1)).astype(jnp.int32)
+            new_live = _gather_beam(live, parent)
+            g_new, st_new = _flat_pred_step(params, cfg, new_live["states"], token)
+            plen = jnp.minimum(new_live["plen"], max_len - 1)
+            prefix = jax.vmap(
+                lambda p, pos, tok: jax.vmap(
+                    lambda pr, po, tk: pr.at[po].set(tk)
+                )(p, pos, tok)
+            )(new_live["prefix"], plen, token)
+            live = {
+                "score": top_scores,
+                "g": g_new,
+                "states": st_new,
+                "prefix": prefix,
+                "plen": new_live["plen"] + 1,
+            }
+        # rows past their encoder length keep the incoming beam untouched
+        keep = ok.reshape(b, 1)
+        nxt = jax.tree.map(
+            lambda n, o: jnp.where(keep.reshape(keep.shape + (1,) * (n.ndim - 2)), n, o),
+            committed, beam,
+        )
+        return nxt, None
+
+    beam, _ = jax.lax.scan(frame, beam0, (jnp.swapaxes(f_proj, 0, 1), frame_ok))
+
+    order = jnp.argsort(-beam["score"], axis=1)
+    beam = _gather_beam(beam, order)
+    return TransducerBeamResult(beam["prefix"], beam["plen"], beam["score"])

@@ -79,15 +79,17 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1,
         from .decoding.transducer_greedy import transducer_greedy_decode
         from .models.transducer import encode
 
-        if beam_width > 1:
-            import warnings
-
-            warnings.warn("transducer serving decodes frame-synchronous "
-                          "greedy; beam_width ignored")
-
         def infer(inputs, input_len):
             feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
             out = encode(params, task.model, feats, fl)
+            if beam_width > 1:
+                from .decoding.transducer_beam import transducer_beam_search
+
+                res = transducer_beam_search(
+                    params, task.model, out.f_proj, out.enc_len,
+                    beam_width=beam_width,
+                )
+                return res.tokens[:, 0], res.lengths[:, 0]
             return transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
 
         return infer

@@ -94,6 +94,21 @@ def make_train_step(task: TransducerTaskConfig, optimizer):
     return train_step
 
 
+def _teacher_nll(params, cfg, out, batch):
+    labels, label_len = batch["labels"], batch["label_len"]
+    tokens = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), cfg.blank_id, labels.dtype),
+         jnp.where(labels >= 0, labels, cfg.blank_id)],
+        axis=1,
+    )
+    g_proj, _ = predict(params, cfg, tokens)
+    lp_blank, lp_label = transducer_logprobs(
+        out.f_proj, g_proj, params["out"]["w"], params["out"]["b"],
+        labels, cfg.blank_id,
+    )
+    return rnnt_loss_from_logprobs(lp_blank, lp_label, out.enc_len, label_len)
+
+
 def make_eval_step(task: TransducerTaskConfig):
     """Jitted greedy-decode step: batch -> (decoded, lengths, nll)."""
     cfg = task.model
@@ -102,19 +117,40 @@ def make_eval_step(task: TransducerTaskConfig):
     def eval_step(params, batch):
         feats, feat_len = device_pipeline(task, batch)
         out = encode(params, cfg, feats, feat_len, train=False)
-        labels, label_len = batch["labels"], batch["label_len"]
-        tokens = jnp.concatenate(
-            [jnp.full((labels.shape[0], 1), cfg.blank_id, labels.dtype),
-             jnp.where(labels >= 0, labels, cfg.blank_id)],
-            axis=1,
-        )
-        g_proj, _ = predict(params, cfg, tokens)
-        lp_blank, lp_label = transducer_logprobs(
-            out.f_proj, g_proj, params["out"]["w"], params["out"]["b"],
-            labels, cfg.blank_id,
-        )
-        nll = rnnt_loss_from_logprobs(lp_blank, lp_label, out.enc_len, label_len)
+        nll = _teacher_nll(params, cfg, out, batch)
         decoded, dec_len = transducer_greedy_decode(params, cfg, out.f_proj, out.enc_len)
         return decoded, dec_len, nll
+
+    return eval_step
+
+
+def make_beam_eval_step(task: TransducerTaskConfig, beam_width: int,
+                        lm=None, lm_weight: float = 0.0):
+    """Eval step decoding with the time-synchronous transducer beam.
+
+    The third output stays the teacher-forced transducer nll (not the beam
+    score), so bin/eval's ``loss`` column means the same thing across
+    greedy/beam runs. LM shallow fusion is not wired into the transducer
+    beam (the prediction network IS an internal LM); a passed ``lm`` is
+    ignored with a warning.
+    """
+    from ..decoding.transducer_beam import transducer_beam_search
+
+    cfg = task.model
+    if lm is not None and lm_weight:
+        import warnings
+
+        warnings.warn("transducer beam ignores RNN-LM fusion (the prediction "
+                      "network is the label model)")
+
+    @jax.jit
+    def eval_step(params, batch):
+        feats, feat_len = device_pipeline(task, batch)
+        out = encode(params, cfg, feats, feat_len, train=False)
+        nll = _teacher_nll(params, cfg, out, batch)
+        res = transducer_beam_search(
+            params, cfg, out.f_proj, out.enc_len, beam_width=beam_width
+        )
+        return res.tokens[:, 0], res.lengths[:, 0], nll
 
     return eval_step

@@ -1,0 +1,136 @@
+"""Transducer beam search: exhaustive-oracle optimality, greedy dominance."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_beam import (
+    transducer_beam_search,
+)
+from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_greedy import (
+    transducer_greedy_decode,
+)
+from tensorflow_end2end_speech_recognition_tpu.models.encoders import EncoderConfig
+from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+    TransducerConfig,
+    init_transducer,
+    joint_logits,
+    pred_initial_states,
+    predict,
+)
+
+
+def _tiny_cfg(num_classes=2, s=2):
+    return TransducerConfig(
+        encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+        num_classes=num_classes, pred_num_units=8, embedding_dim=4, joint_dim=8,
+        max_symbols_per_frame=s,
+    )
+
+
+def _path_score(params, cfg, f_row, emissions):
+    """Score one alignment: per-frame label runs, each frame ends in blank."""
+    states = pred_initial_states(cfg, 1)
+    g, states = predict(
+        params, cfg, jnp.full((1, 1), cfg.blank_id, jnp.int32), initial_states=states
+    )
+    g = g[:, 0]
+    score = 0.0
+    for t, labs in enumerate(emissions):
+        for k in labs:
+            lp = jax.nn.log_softmax(joint_logits(params, f_row[t][None], g))
+            score += float(lp[0, k])
+            g, states = predict(
+                params, cfg, jnp.full((1, 1), k, jnp.int32), initial_states=states
+            )
+            g = g[:, 0]
+        lp = jax.nn.log_softmax(joint_logits(params, f_row[t][None], g))
+        score += float(lp[0, cfg.blank_id])
+    return score
+
+
+def test_beam_matches_exhaustive_best_path():
+    cfg = _tiny_cfg(num_classes=2, s=2)
+    params = init_transducer(jax.random.PRNGKey(0), cfg, 5)
+    rng = np.random.RandomState(0)
+    t = 2
+    f_proj = jnp.asarray(rng.randn(1, t, cfg.joint_dim).astype(np.float32))
+    enc_len = jnp.asarray([t], jnp.int32)
+
+    # exhaustive: per frame emit 0..s labels from {0,1}, then blank
+    runs = [()]
+    for r in (1, 2):
+        runs += list(itertools.product(range(cfg.num_classes), repeat=r))
+    best_score, best_seq = -np.inf, None
+    for emis in itertools.product(runs, repeat=t):
+        sc = _path_score(params, cfg, f_proj[0], emis)
+        if sc > best_score:
+            best_score, best_seq = sc, [k for labs in emis for k in labs]
+
+    res = transducer_beam_search(params, cfg, f_proj, enc_len, beam_width=16)
+    got = list(np.asarray(res.tokens[0, 0][: int(res.lengths[0, 0])]))
+    np.testing.assert_allclose(float(res.scores[0, 0]), best_score, rtol=1e-5)
+    assert got == best_seq, (got, best_seq)
+
+
+def test_beam_top_score_dominates_greedy():
+    cfg = _tiny_cfg(num_classes=5, s=3)
+    params = init_transducer(jax.random.PRNGKey(1), cfg, 5)
+    rng = np.random.RandomState(1)
+    b, t = 3, 6
+    f_proj = jnp.asarray(rng.randn(b, t, cfg.joint_dim).astype(np.float32))
+    enc_len = jnp.asarray([t, 4, 2], jnp.int32)
+
+    dec, dec_len = transducer_greedy_decode(params, cfg, f_proj, enc_len)
+    res = transducer_beam_search(params, cfg, f_proj, enc_len, beam_width=8)
+    # beams sorted best-first
+    sc = np.asarray(res.scores)
+    assert np.all(np.diff(sc, axis=1) <= 1e-6)
+    # replay each row's greedy alignment and compare path scores
+    for i in range(b):
+        n = int(enc_len[i])
+        # reconstruct the greedy per-frame emission runs by re-running the
+        # frame loop (greedy emits deterministically)
+        from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_greedy import (
+            decode_frame,
+            decoder_init,
+        )
+
+        carry = decoder_init(params, cfg, 1)
+        emis = []
+        for tt in range(n):
+            carry, em = decode_frame(
+                params, cfg, carry, f_proj[i, tt][None], jnp.asarray([True])
+            )
+            emis.append(tuple(int(x) for x in np.asarray(em[0]) if x >= 0))
+        g_score = _path_score(params, cfg, f_proj[i], emis)
+        assert float(res.scores[i, 0]) >= g_score - 1e-5, (i, float(res.scores[i, 0]), g_score)
+        # and the greedy sequence's tokens match some consistency: lengths
+        assert int(res.lengths[i, 0]) <= n * cfg.max_symbols_per_frame
+
+
+def test_beam_respects_enc_len_and_padding():
+    cfg = _tiny_cfg(num_classes=3, s=2)
+    params = init_transducer(jax.random.PRNGKey(2), cfg, 5)
+    rng = np.random.RandomState(2)
+    f_proj = jnp.asarray(rng.randn(2, 5, cfg.joint_dim).astype(np.float32))
+    # row 1 sees only 2 frames: its result must equal a 2-frame-only search
+    res_full = transducer_beam_search(
+        params, cfg, f_proj, jnp.asarray([5, 2], jnp.int32), beam_width=4
+    )
+    res_cut = transducer_beam_search(
+        params, cfg, f_proj[1:, :2], jnp.asarray([2], jnp.int32), beam_width=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_full.scores[1]), np.asarray(res_cut.scores[0]), rtol=1e-5
+    )
+    n = int(res_full.lengths[1, 0])
+    np.testing.assert_array_equal(
+        np.asarray(res_full.tokens[1, 0, :n]), np.asarray(res_cut.tokens[0, 0, :n])
+    )
+    # -1 padding beyond each hypothesis length
+    toks, lens = np.asarray(res_full.tokens), np.asarray(res_full.lengths)
+    for i in range(2):
+        assert np.all(toks[i, 0, lens[i, 0]:] == -1)

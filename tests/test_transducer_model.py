@@ -165,3 +165,21 @@ def test_fit_transducer_end_to_end(tmp_path):
     summary = fit(exp, str(tmp_path / "m"), log_every=100, print_fn=lambda *a: None)
     assert np.isfinite(summary["train_loss"])
     assert summary["epochs"] == 2
+
+
+def test_beam_eval_step_loss_matches_greedy_eval():
+    """The beam eval's third output is the teacher-forced nll, same metric
+    as the greedy eval step (truthful loss label across decode modes)."""
+    from tensorflow_end2end_speech_recognition_tpu.train.transducer_task import (
+        make_beam_eval_step,
+    )
+
+    corpus = ToyCorpus(num_utts=4, vocab_size=5, min_units=2, max_units=4, seed=4)
+    ds = Dataset(corpus.utterances, batch_size=4, num_wav_buckets=1, num_label_buckets=1)
+    _, jbatch = _jbatch(ds)
+    task = _task(corpus.tokenizer.num_units)
+    params = init_params(jax.random.PRNGKey(0), task)
+    _, _, nll_g = make_eval_step(task)(params, jbatch)
+    dec, dlen, nll_b = make_beam_eval_step(task, beam_width=4)(params, jbatch)
+    np.testing.assert_allclose(np.asarray(nll_g), np.asarray(nll_b), rtol=1e-5)
+    assert dec.shape[0] == 4 and dlen.shape == (4,)
