@@ -395,3 +395,66 @@ def test_http_streaming_beam_sessions(tmp_path):
     finally:
         server.shutdown()
         server.batcher.stop()
+
+
+def test_http_streaming_sessions_transducer(tmp_path):
+    """Live HTTP sessions over a frozen TRANSDUCER streaming artifact emit
+    the in-process chunked tokens (the session runtime is decode-agnostic)."""
+    from tensorflow_end2end_speech_recognition_tpu.bin.serve import make_server
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.serving import export_streaming_model
+    from tensorflow_end2end_speech_recognition_tpu.streaming import build_streaming_fn
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6, pred_num_units=8, embedding_dim=4, joint_dim=8,
+            max_symbols_per_frame=2,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(6), task)
+    chunk = 1600
+    out = export_streaming_model(
+        task, params, tmp_path / "t.shlo", 2, chunk, tokenizer=_Units(),
+        extra_meta={"label_type": "phone61"},
+    )
+
+    rng = np.random.RandomState(7)
+    wav = (rng.randn(2 * chunk + 700) * 0.3).astype(np.float32)
+    init_fn, step_fn = build_streaming_fn(task, params, chunk)
+    state = init_fn(1)
+    want = []
+    n_ch = -(-len(wav) // chunk)
+    pad = np.pad(wav, (0, n_ch * chunk - len(wav)))
+    for k in range(n_ch):
+        cl = np.clip(len(wav) - k * chunk, 0, chunk)
+        state, t, n = step_fn(
+            state, jnp.asarray(pad[None, k * chunk : (k + 1) * chunk]),
+            jnp.asarray([cl], np.int32),
+        )
+        want.extend(np.asarray(t)[0, : int(np.asarray(n)[0])].tolist())
+
+    server = make_server(out, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("POST", "/stream/start", b"")
+        sid = json.loads(c.getresponse().read())["session"]
+        got = []
+        for part in np.array_split(wav, 3):
+            c.request("POST", "/stream/audio?session=" + sid,
+                      part.astype(np.float32).tobytes(),
+                      {"Content-Type": "application/octet-stream"})
+            got.extend(json.loads(c.getresponse().read())["ids"])
+        c.request("POST", "/stream/end?session=" + sid, b"")
+        got.extend(json.loads(c.getresponse().read())["ids"])
+        assert got == want
+    finally:
+        server.shutdown()
+        server.batcher.stop()
