@@ -75,17 +75,20 @@ def transducer_beam_search(
     enc_len,  # [B]
     beam_width: int = 8,
     max_symbols: int | None = None,
-    max_len: int = 200,
+    max_len: int | None = None,
 ):
     """Beam search over joint-space encoder activations.
 
     Returns hypotheses sorted best-first per row; ``scores`` are raw log
     path probabilities (length normalization is the caller's policy, as in
-    ``attention_beam.py``).
+    ``attention_beam.py``). ``max_len`` caps hypothesis length; the default
+    ``T * max_symbols`` is the same bound greedy's output buffer has, so
+    beam transcripts are never truncated relative to greedy.
     """
     b, t, j = f_proj.shape
     w = beam_width
     s = max_symbols or cfg.max_symbols_per_frame
+    max_len = max_len or t * s
     blank = cfg.blank_id
     v1 = cfg.vocab_with_blank
 
@@ -107,23 +110,26 @@ def transducer_beam_search(
     def frame(beam, inp):
         f_t, ok = inp  # [B, J], [B]
         live = beam  # hypotheses still expanding this frame
-        committed = {k: (v if k != "score" else jnp.full((b, w), _NEG))
-                     for k, v in beam.items()}
-        first = True
-        for _ in range(s):
+        committed = None
+        # s expansion rounds need s+1 blank scorings: a run of exactly s
+        # labels must still commit its terminating blank AFTER the last
+        # expansion, else full-budget runs are unreachable (at s=1 the beam
+        # could never emit anything — caught by review + regression test)
+        for r in range(s + 1):
             lp = jax.nn.log_softmax(
                 joint_logits(params, f_t[:, None, :], live["g"]), axis=-1
             )  # [B, W, V+1]
             # blank commitment -> candidate for the next frame's pool
             blank_score = live["score"] + lp[..., blank]
-            if first:
+            if committed is None:
                 committed = {**live, "score": blank_score}
-                first = False
             else:
                 cat = lambda a, bb: jnp.concatenate([a, bb], axis=1)
                 pool = jax.tree.map(cat, committed, {**live, "score": blank_score})
                 _, top = jax.lax.top_k(pool["score"], w)
                 committed = _gather_beam(pool, top)
+            if r == s:
+                break
             # label expansions -> next round's live set
             lab = live["score"][..., None] + lp[..., :blank]  # [B, W, V]
             # hypotheses at the prefix cap stop expanding (score floor)
@@ -145,7 +151,7 @@ def transducer_beam_search(
                 "g": g_new,
                 "states": st_new,
                 "prefix": prefix,
-                "plen": new_live["plen"] + 1,
+                "plen": jnp.minimum(new_live["plen"] + 1, max_len),
             }
         # rows past their encoder length keep the incoming beam untouched
         keep = ok.reshape(b, 1)

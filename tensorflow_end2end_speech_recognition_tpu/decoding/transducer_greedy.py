@@ -82,16 +82,6 @@ def transducer_greedy_decode(params, cfg: TransducerConfig, f_proj, enc_len,
 
     _, em = jax.lax.scan(frame, carry0, (jnp.swapaxes(f_proj, 0, 1), frame_ok))
     em = jnp.swapaxes(em, 0, 1).reshape(b, t * s)  # [B, T*S]
+    from .ctc_greedy import compact_rows
 
-    keep = em >= 0
-    width = t * s
-    pos = jnp.cumsum(keep, axis=1) - 1
-    pos = jnp.where(keep, pos, width)
-
-    def compact(row_ids, row_pos):
-        return jnp.full((width,), -1, row_ids.dtype).at[row_pos].set(
-            row_ids, mode="drop"
-        )
-
-    decoded = jax.vmap(compact)(em, pos)
-    return decoded, jnp.sum(keep, axis=1)
+    return compact_rows(em, em >= 0)

@@ -79,6 +79,14 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1,
         from .decoding.transducer_greedy import transducer_greedy_decode
         from .models.transducer import encode
 
+        if lm is not None and lm_weight:
+            import warnings
+
+            warnings.warn(
+                "transducer artifacts do not bake RNN-LM fusion (the "
+                "prediction network is the label model); exporting without it"
+            )
+
         def infer(inputs, input_len):
             feats, fl = device_pipeline(task, {"inputs": inputs, "input_len": input_len})
             out = encode(params, task.model, feats, fl)

@@ -135,10 +135,14 @@ def carry_samples(frontend) -> int:
     return step * (-(-(length - step) // step))
 
 
-def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
+def build_streaming_fn(task, params, chunk_samples: int,
                        beam_width: int = 1, top_k_classes: int = 16,
                        max_prefix_len: int = 200):
     """Returns ``(init_fn, step_fn)`` — plus ``finalize_fn`` in beam mode.
+
+    ``task`` is a ``CTCTaskConfig`` or ``TransducerTaskConfig`` (transducer
+    mode carries (g, prediction-state) and emits frame-synchronous greedy
+    tokens; ``beam_width`` stays CTC-only).
 
     ``init_fn(batch_size)`` -> zeroed ``StreamState``.
     ``step_fn(state, chunk [B, C], chunk_len [B])`` ->
@@ -316,40 +320,25 @@ def build_streaming_fn(task: CTCTaskConfig, params, chunk_samples: int,
             new_transducer, em = jax.lax.scan(
                 frame, state.transducer, (jnp.swapaxes(f_proj, 0, 1), ok)
             )
-            n_sym = cfg.max_symbols_per_frame
-            width = f_frames * n_sym
-            em = jnp.swapaxes(em, 0, 1).reshape(em.shape[1], width)
-            keep = em >= 0
-            pos = jnp.cumsum(keep, axis=1) - 1
-            pos = jnp.where(keep, pos, width)
+            from .decoding.ctc_greedy import compact_rows
 
-            def compact_t(row_ids, row_pos):
-                return jnp.full((width,), -1, row_ids.dtype).at[row_pos].set(
-                    row_ids, mode="drop"
-                )
-
-            tokens = jax.vmap(compact_t)(em, pos)
-            tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
+            width = f_frames * cfg.max_symbols_per_frame
+            bsz = em.shape[1]  # em from the scan is [F, B, S]
+            em = jnp.swapaxes(em, 0, 1).reshape(bsz, width)
+            tokens, tok_len = compact_rows(em, em >= 0)
             new_prev = state.prev_id  # unused in transducer mode
         else:
             if cfg.bottleneck_dim:
                 xs = _affine(params["bottleneck"], xs)
             logits = _affine(params["head"], xs)  # [B, F, C+1]
 
+            from .decoding.ctc_greedy import compact_rows
+
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             valid = jnp.arange(f_frames)[None, :] < n_enc[:, None]
             prev = jnp.concatenate([state.prev_id[:, None], ids[:, :-1]], axis=1)
             keep = valid & (ids != prev) & (ids != cfg.blank_id)
-            pos = jnp.cumsum(keep, axis=1) - 1
-            pos = jnp.where(keep, pos, f_frames)
-
-            def compact(row_ids, row_pos):
-                return jnp.full((f_frames,), -1, row_ids.dtype).at[row_pos].set(
-                    row_ids, mode="drop"
-                )
-
-            tokens = jax.vmap(compact)(ids, pos)
-            tok_len = jnp.sum(keep, axis=1).astype(jnp.int32)
+            tokens, tok_len = compact_rows(ids, keep)
 
             last = jnp.clip(n_enc - 1, 0, f_frames - 1)
             last_id = jnp.take_along_axis(ids, last[:, None], axis=1)[:, 0]

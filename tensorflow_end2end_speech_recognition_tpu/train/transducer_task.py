@@ -18,7 +18,7 @@ from ..frontend.augment import SpecAugmentConfig, spec_augment
 from ..frontend.features import FrontendConfig
 from ..models.transducer import TransducerConfig, encode, init_transducer, predict
 from ..ops.losses import batch_mean, l2_weight_decay
-from ..ops.transducer import rnnt_loss_from_logprobs, transducer_logprobs
+from ..ops.transducer import rnnt_loss
 from .ctc_task import device_pipeline
 from .optimizer import apply_updates
 
@@ -65,11 +65,10 @@ def forward_loss(params, task: TransducerTaskConfig, batch, train: bool, rng=Non
     )
     g_proj, _ = predict(params, cfg, tokens, train=train, rng=pred_rng)
 
-    lp_blank, lp_label = transducer_logprobs(
+    nll = rnnt_loss(
         out.f_proj, g_proj, params["out"]["w"], params["out"]["b"],
-        labels, cfg.blank_id,
+        labels, out.enc_len, label_len, cfg.blank_id,
     )
-    nll = rnnt_loss_from_logprobs(lp_blank, lp_label, out.enc_len, label_len)
     loss = batch_mean(nll, batch.get("weight"))
     if task.weight_decay:
         loss = loss + l2_weight_decay(params, task.weight_decay)
@@ -102,11 +101,10 @@ def _teacher_nll(params, cfg, out, batch):
         axis=1,
     )
     g_proj, _ = predict(params, cfg, tokens)
-    lp_blank, lp_label = transducer_logprobs(
+    return rnnt_loss(
         out.f_proj, g_proj, params["out"]["w"], params["out"]["b"],
-        labels, cfg.blank_id,
+        labels, out.enc_len, label_len, cfg.blank_id,
     )
-    return rnnt_loss_from_logprobs(lp_blank, lp_label, out.enc_len, label_len)
 
 
 def make_eval_step(task: TransducerTaskConfig):

@@ -134,3 +134,39 @@ def test_beam_respects_enc_len_and_padding():
     toks, lens = np.asarray(res_full.tokens), np.asarray(res_full.lengths)
     for i in range(2):
         assert np.all(toks[i, 0, lens[i, 0]:] == -1)
+
+
+def test_beam_emits_full_symbol_budget_runs():
+    """Regression (review finding): label runs using the FULL per-frame
+    symbol budget must be committable — at max_symbols_per_frame=1 the beam
+    must still emit labels and dominate greedy."""
+    cfg = _tiny_cfg(num_classes=4, s=1)
+    params = init_transducer(jax.random.PRNGKey(3), cfg, 5)
+    rng = np.random.RandomState(3)
+    f_proj = jnp.asarray(rng.randn(2, 6, cfg.joint_dim).astype(np.float32))
+    enc_len = jnp.asarray([6, 6], jnp.int32)
+    dec, dec_len = transducer_greedy_decode(params, cfg, f_proj, enc_len)
+    res = transducer_beam_search(params, cfg, f_proj, enc_len, beam_width=4)
+    for i in range(2):
+        g = list(np.asarray(dec[i][: int(dec_len[i])]))
+        if not g:
+            continue
+        # greedy found labels, so a non-degenerate hypothesis exists; the
+        # beam's top hypothesis must be live (pre-fix it was the empty
+        # blank-only path with score _NEG + lp sums)
+        assert int(res.lengths[i, 0]) > 0 or float(res.scores[i, 0]) > -1e29
+    # and the exhaustive oracle at s=1: beam == best single-emission path
+    from itertools import product
+
+    f1 = f_proj[:1, :2]
+    best_score, best_seq = -np.inf, None
+    runs = [(), (0,), (1,), (2,), (3,)]
+    for emis in product(runs, repeat=2):
+        sc = _path_score(params, cfg, f1[0], emis)
+        if sc > best_score:
+            best_score, best_seq = sc, [k for labs in emis for k in labs]
+    res1 = transducer_beam_search(
+        params, cfg, f1, jnp.asarray([2], jnp.int32), beam_width=16
+    )
+    np.testing.assert_allclose(float(res1.scores[0, 0]), best_score, rtol=1e-5)
+    assert list(np.asarray(res1.tokens[0, 0][: int(res1.lengths[0, 0])])) == best_seq
