@@ -254,3 +254,44 @@ def test_pod_eval_sharding_matches_single_process():
     np.testing.assert_allclose(m_pod["loss"], m_full["loss"], rtol=1e-6)
     # single-process allreduce is the identity
     np.testing.assert_array_equal(allreduce_counts(full), full)
+
+
+def test_dp_transducer_matches_single_device():
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6, pred_num_units=8, embedding_dim=4, joint_dim=8,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    rng = np.random.RandomState(3)
+    b = 8
+    batch = {
+        "inputs": jnp.asarray(rng.randn(b, 4096).astype(np.float32) * 0.1),
+        "input_len": jnp.full((b,), 4096, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 6, (b, 4)).astype(np.int32)),
+        "label_len": jnp.full((b,), 4, jnp.int32),
+    }
+    params = transducer_task.init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("sgd", clip_grad_norm=None)
+    step = transducer_task.make_train_step(task, opt)
+
+    p1 = jax.tree.map(jnp.copy, params)
+    s1 = opt.init(p1)
+    p1, s1, aux1 = step(p1, s1, batch, 1e-2, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8)
+    p8 = jax.tree.map(jnp.copy, params)
+    s8 = opt.init(p8)
+    p8, s8, b8 = setup_data_parallel(mesh, p8, s8, batch)
+    p8, s8, aux8 = step(p8, s8, b8, 1e-2, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), rtol=1e-5)
+    for a, bb in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+    assert len(jax.tree.leaves(p8)[0].sharding.device_set) == 8
