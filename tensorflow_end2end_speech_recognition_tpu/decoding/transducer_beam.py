@@ -68,44 +68,41 @@ def _gather_beam(tree, idx):
     return jax.tree.map(one, tree)
 
 
-def transducer_beam_search(
-    params,
-    cfg: TransducerConfig,
-    f_proj,  # [B, T, J]
-    enc_len,  # [B]
-    beam_width: int = 8,
-    max_symbols: int | None = None,
-    max_len: int | None = None,
-):
-    """Beam search over joint-space encoder activations.
+def beam_init(params, cfg: TransducerConfig, batch_size: int,
+              beam_width: int, max_len: int):
+    """Initial beam: one live hypothesis (SOS consumed), others dead.
 
-    Returns hypotheses sorted best-first per row; ``scores`` are raw log
-    path probabilities (length normalization is the caller's policy, as in
-    ``attention_beam.py``). ``max_len`` caps hypothesis length; the default
-    ``T * max_symbols`` is the same bound greedy's output buffer has, so
-    beam transcripts are never truncated relative to greedy.
+    The dict is a fixed-shape pytree, so it can ride a ``StreamState``
+    across chunks (the same carryable decomposition as the CTC prefix
+    beam's ``beam_init/advance/finalize``).
     """
-    b, t, j = f_proj.shape
-    w = beam_width
-    s = max_symbols or cfg.max_symbols_per_frame
-    max_len = max_len or t * s
-    blank = cfg.blank_id
-    v1 = cfg.vocab_with_blank
-
-    # initial beam: one live hypothesis (SOS consumed), others dead
+    b, w = batch_size, beam_width
     states0 = pred_initial_states(cfg, b * w)
     g0, states0 = predict(
-        params, cfg, jnp.full((b * w, 1), blank, jnp.int32), initial_states=states0
+        params, cfg, jnp.full((b * w, 1), cfg.blank_id, jnp.int32),
+        initial_states=states0,
     )
     unflat = lambda x: x.reshape(b, w, *x.shape[1:])
-    beam0 = {
+    return {
         "score": jnp.full((b, w), _NEG).at[:, 0].set(0.0),
         "g": unflat(g0[:, 0]),
         "states": jax.tree.map(unflat, states0),
         "prefix": jnp.full((b, w, max_len), -1, jnp.int32),
         "plen": jnp.zeros((b, w), jnp.int32),
     }
-    frame_ok = (jnp.arange(t)[:, None] < enc_len[None, :])  # [T, B]
+
+
+def beam_advance(params, cfg: TransducerConfig, beam, f_proj, n_valid,
+                 max_symbols: int | None = None):
+    """Advance the beam over ``f_proj`` [B, F, J]'s first ``n_valid`` [B]
+    frames (rows past their count stay frozen bit-exactly)."""
+    b, t, _ = f_proj.shape
+    w = beam["score"].shape[1]
+    s = max_symbols or cfg.max_symbols_per_frame
+    max_len = beam["prefix"].shape[2]
+    blank = cfg.blank_id
+    v1 = cfg.vocab_with_blank
+    frame_ok = (jnp.arange(t)[:, None] < n_valid[None, :])  # [T, B]
 
     def frame(beam, inp):
         f_t, ok = inp  # [B, J], [B]
@@ -161,8 +158,36 @@ def transducer_beam_search(
         )
         return nxt, None
 
-    beam, _ = jax.lax.scan(frame, beam0, (jnp.swapaxes(f_proj, 0, 1), frame_ok))
+    beam, _ = jax.lax.scan(frame, beam, (jnp.swapaxes(f_proj, 0, 1), frame_ok))
+    return beam
 
+
+def beam_finalize(beam) -> TransducerBeamResult:
+    """Sort hypotheses best-first."""
     order = jnp.argsort(-beam["score"], axis=1)
     beam = _gather_beam(beam, order)
     return TransducerBeamResult(beam["prefix"], beam["plen"], beam["score"])
+
+
+def transducer_beam_search(
+    params,
+    cfg: TransducerConfig,
+    f_proj,  # [B, T, J]
+    enc_len,  # [B]
+    beam_width: int = 8,
+    max_symbols: int | None = None,
+    max_len: int | None = None,
+):
+    """Beam search over joint-space encoder activations.
+
+    Returns hypotheses sorted best-first per row; ``scores`` are raw log
+    path probabilities (length normalization is the caller's policy, as in
+    ``attention_beam.py``). ``max_len`` caps hypothesis length; the default
+    ``T * max_symbols`` is the same bound greedy's output buffer has, so
+    beam transcripts are never truncated relative to greedy.
+    """
+    b, t, _ = f_proj.shape
+    s = max_symbols or cfg.max_symbols_per_frame
+    beam = beam_init(params, cfg, b, beam_width, max_len or t * s)
+    beam = beam_advance(params, cfg, beam, f_proj, enc_len, max_symbols=s)
+    return beam_finalize(beam)

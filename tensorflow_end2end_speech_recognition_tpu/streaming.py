@@ -142,7 +142,8 @@ def build_streaming_fn(task, params, chunk_samples: int,
 
     ``task`` is a ``CTCTaskConfig`` or ``TransducerTaskConfig`` (transducer
     mode carries (g, prediction-state) and emits frame-synchronous greedy
-    tokens; ``beam_width`` stays CTC-only).
+    tokens; ``beam_width > 1`` additionally carries the time-synchronous
+    transducer beam across chunks, finalize semantics as in CTC beam mode).
 
     ``init_fn(batch_size)`` -> zeroed ``StreamState``.
     ``step_fn(state, chunk [B, C], chunk_len [B])`` ->
@@ -171,11 +172,6 @@ def build_streaming_fn(task, params, chunk_samples: int,
     from .train.transducer_task import TransducerTaskConfig
 
     is_transducer = isinstance(task, TransducerTaskConfig)
-    if is_transducer and beam_width > 1:
-        raise ValueError(
-            "transducer streaming decodes frame-synchronous greedy; the "
-            "carried prefix beam is CTC-only (pass beam_width=1)"
-        )
     fe = task.frontend
     cfg = task.model
     enc_cfg = cfg.encoder
@@ -202,7 +198,7 @@ def build_streaming_fn(task, params, chunk_samples: int,
             return (h,)
 
         beam = None
-        if beam_width > 1:
+        if beam_width > 1 and not is_transducer:
             from .decoding.ctc_prefix_beam import beam_init
 
             beam = beam_init(batch_size, beam_width, max_prefix_len)
@@ -211,6 +207,11 @@ def build_streaming_fn(task, params, chunk_samples: int,
             from .decoding.transducer_greedy import decoder_init
 
             transducer = decoder_init(params, cfg, batch_size)
+            if beam_width > 1:
+                from .decoding.transducer_beam import beam_init as t_beam_init
+
+                beam = t_beam_init(params, cfg, batch_size, beam_width,
+                                   max_prefix_len)
         return StreamState(
             sample_carry=jnp.zeros((batch_size, k), jnp.float32),
             samples_seen=jnp.zeros((batch_size,), jnp.int32),
@@ -327,6 +328,13 @@ def build_streaming_fn(task, params, chunk_samples: int,
             em = jnp.swapaxes(em, 0, 1).reshape(bsz, width)
             tokens, tok_len = compact_rows(em, em >= 0)
             new_prev = state.prev_id  # unused in transducer mode
+            if beam_width > 1:
+                from .decoding.transducer_beam import beam_advance as t_beam_advance
+
+                # the transducer beam rides the chunks exactly like the CTC
+                # prefix beam: greedy partials stream live above, the beam
+                # transcript comes from finalize_fn at stream end
+                new_beam = t_beam_advance(params, cfg, state.beam, f_proj, n_enc)
         else:
             if cfg.bottleneck_dim:
                 xs = _affine(params["bottleneck"], xs)
@@ -377,10 +385,16 @@ def build_streaming_fn(task, params, chunk_samples: int,
     # leftover after consuming them is again exactly K samples)
     assert (k + chunk_samples - length) // step_sz + 1 == f_out
     if beam_width > 1:
-        from .decoding.ctc_prefix_beam import beam_finalize
+        if is_transducer:
+            from .decoding.transducer_beam import beam_finalize as t_beam_finalize
 
-        def finalize_fn(state: StreamState):
-            return beam_finalize(state.beam)
+            def finalize_fn(state: StreamState):
+                return t_beam_finalize(state.beam)
+        else:
+            from .decoding.ctc_prefix_beam import beam_finalize
+
+            def finalize_fn(state: StreamState):
+                return beam_finalize(state.beam)
 
         return init_fn, step_fn, finalize_fn
     return init_fn, step_fn

@@ -405,22 +405,60 @@ def test_transducer_streaming_stacked_equals_offline():
         assert got[i] == want_ids[i, : want_len[i]].tolist(), f"row {i}"
 
 
-def test_transducer_streaming_rejects_beam():
+def test_transducer_streaming_beam_equals_offline_beam():
+    """The carried transducer beam's finalize must equal the offline
+    time-synchronous beam of the whole utterance (per-frame body shared)."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_beam import (
+        transducer_beam_search,
+    )
     from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
         TransducerConfig,
+        encode,
     )
     from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
 
     task = transducer_task.TransducerTaskConfig(
         model=TransducerConfig(
-            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
-            num_classes=6, pred_num_units=8, embedding_dim=4, joint_dim=8,
+            encoder=EncoderConfig(encoder_type="lstm", num_units=16, num_layers=1),
+            num_classes=6, pred_num_units=16, embedding_dim=8, joint_dim=16,
+            max_symbols_per_frame=2,
         ),
         frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
     )
-    params = transducer_task.init_params(jax.random.PRNGKey(0), task)
-    with pytest.raises(ValueError, match="greedy"):
-        build_streaming_fn(task, params, 3200, beam_width=4)
+    params = transducer_task.init_params(jax.random.PRNGKey(5), task)
+    rng = np.random.RandomState(6)
+    b, chunk = 2, 3200
+    wav = jnp.asarray(rng.randn(b, 3 * chunk).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([3 * chunk, 2 * chunk - 800], jnp.int32)
+    w, max_len = 4, 64
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = encode(params, task.model, feats, fl)
+    want = transducer_beam_search(
+        params, task.model, out.f_proj, out.enc_len, beam_width=w, max_len=max_len
+    )
+
+    init_fn, step_fn, finalize_fn = build_streaming_fn(
+        task, params, chunk, beam_width=w, max_prefix_len=max_len
+    )
+    step_fn = jax.jit(step_fn)
+    state = init_fn(b)
+    wav_np = np.asarray(wav)
+    for k in range(3):
+        lo = k * chunk
+        cl = np.clip(np.asarray(wav_len) - lo, 0, chunk).astype(np.int32)
+        state, _, _ = step_fn(state, jnp.asarray(wav_np[:, lo : lo + chunk]),
+                              jnp.asarray(cl))
+    got = finalize_fn(state)
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(want.scores),
+                               rtol=1e-5, atol=1e-6)
+    for i in range(b):
+        n = int(want.lengths[i, 0])
+        assert int(got.lengths[i, 0]) == n
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens[i, 0, :n]), np.asarray(want.tokens[i, 0, :n])
+        )
 
 
 def test_transducer_streaming_export_roundtrip(tmp_path):
