@@ -257,7 +257,9 @@ def export_streaming_model(
         finalize_fn = fns[2]
 
         def flat_finalize(leaves):
-            return finalize_fn(jax.tree.unflatten(treedef, leaves))
+            # plain tuple: jax.export cannot serialize the decoder's
+            # namedtuple result types (e.g. TransducerBeamResult)
+            return tuple(finalize_fn(jax.tree.unflatten(treedef, leaves)))
 
         exported_final = jax_export.export(jax.jit(flat_finalize), **kwargs)(specs)
         out_path.with_suffix(out_path.suffix + ".final").write_bytes(

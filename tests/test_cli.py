@@ -186,3 +186,51 @@ def test_config_warns_on_ignored_reference_keys():
     assert cfg.dropout == 0.7
     with pytest.raises(KeyError):
         ExperimentConfig.from_dict({"not_a_key": 1})
+
+
+def test_cli_transducer_train_eval_decode_export(tmp_path, capsys):
+    """model_type: transducer through every CLI: train, greedy+beam eval,
+    decode, batch export, streaming export."""
+    from tensorflow_end2end_speech_recognition_tpu.bin import (
+        decode,
+        eval as eval_bin,
+        export,
+        train,
+    )
+
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(yaml.safe_dump(dict(
+        model_type="transducer", corpus="toy", label_type="phone61",
+        toy_num_utts=12, toy_vocab_size=5, use_delta=False, use_energy=False,
+        cmvn="none", encoder_type="lstm",
+        num_units=12, num_layers=1, pred_num_units=12, joint_dim=12,
+        embedding_dim=6, max_symbols_per_frame=2,
+        batch_size=6, num_epoch=1, beam_width=1,
+    )))
+    mdir = tmp_path / "model"
+
+    train.main([str(cfg), str(mdir)])
+    out = capsys.readouterr().out
+    assert "FINAL" in out and "transducer" in out
+
+    eval_bin.main([str(mdir)])
+    out = capsys.readouterr().out
+    assert "dev (epoch" in out and "test (epoch" in out
+
+    eval_bin.main([str(mdir), "--beam-width", "2"])
+    out = capsys.readouterr().out
+    assert "beam width 2" in out and "dev (epoch" in out
+
+    decode.main([str(mdir), "--beam-width", "2", "--num-utts", "2"])
+    out = capsys.readouterr().out
+    assert "REF:" in out and "HYP:" in out
+
+    export.main([str(mdir), str(tmp_path / "t.shlo"), "--batch", "2",
+                 "--seconds", "0.5", "--selfcheck"])
+    out = capsys.readouterr().out
+    assert "exported" in out and "selfcheck ok" in out
+
+    export.main([str(mdir), str(tmp_path / "ts.shlo"), "--batch", "2",
+                 "--streaming", "--chunk-ms", "200", "--selfcheck"])
+    out = capsys.readouterr().out
+    assert "streaming" in out and "selfcheck ok" in out

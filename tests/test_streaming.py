@@ -502,3 +502,54 @@ def test_transducer_streaming_export_roundtrip(tmp_path):
         for i in range(b):
             got[i].extend(tokens[i, : tok_len[i]].tolist())
     assert got == want
+
+
+def test_transducer_streaming_beam_export_roundtrip(tmp_path):
+    """Frozen transducer streaming artifact in beam mode: the .final program
+    reproduces the in-process beam_finalize result."""
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.serving import (
+        export_streaming_model,
+        load_streaming,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=8, num_layers=1),
+            num_classes=6, pred_num_units=8, embedding_dim=4, joint_dim=8,
+            max_symbols_per_frame=2,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(8), task)
+    rng = np.random.RandomState(8)
+    b, chunk, w, max_len = 2, 3200, 3, 32
+    wav = np.asarray(rng.randn(b, 2 * chunk).astype(np.float32) * 0.3)
+    lens = [2 * chunk, chunk + 800]
+
+    init_fn, step_fn, finalize_fn = build_streaming_fn(
+        task, params, chunk, beam_width=w, max_prefix_len=max_len
+    )
+    state = init_fn(b)
+    for k in range(2):
+        cl = np.clip(np.asarray(lens) - k * chunk, 0, chunk).astype(np.int32)
+        state, _, _ = step_fn(state, jnp.asarray(wav[:, k * chunk:(k + 1) * chunk]),
+                              jnp.asarray(cl))
+    want = finalize_fn(state)
+
+    out = export_streaming_model(
+        task, params, tmp_path / "tb.shlo", b, chunk,
+        beam_width=w, max_prefix_len=max_len,
+    )
+    st, step, finalize = load_streaming(out)
+    assert finalize is not None
+    for k in range(2):
+        cl = np.clip(np.asarray(lens) - k * chunk, 0, chunk).astype(np.int32)
+        st, _, _ = step(st, wav[:, k * chunk:(k + 1) * chunk], cl)
+    got = finalize(st)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want.scores),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want.tokens))
