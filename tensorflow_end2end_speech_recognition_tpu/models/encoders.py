@@ -57,6 +57,13 @@ class EncoderConfig(NamedTuple):
     # "conv" | "shifts": grouped-conv vs partition-safe depthwise impl —
     # "shifts" is REQUIRED under 2-D (data x model) meshes (conformer.py)
     depthwise_impl: str = "conv"
+    # pipeline parallelism (parallel/pp.py; conformer/transformer only):
+    # > 1 splits the block stack into stages over a ``pipe`` mesh axis and
+    # streams microbatches through them (GPipe). pipeline_data_parallel is
+    # the data-axis width of the same mesh (total chips = dp * stages).
+    pipeline_stages: int | None = None
+    pipeline_microbatches: int = 8
+    pipeline_data_parallel: int = 1
 
     @property
     def bidirectional(self) -> bool:
@@ -284,6 +291,27 @@ def apply_encoder(
     )
 
     if cfg.encoder_type in ("conformer", "transformer"):
+        if (
+            cfg.pipeline_stages
+            and cfg.pipeline_stages > 1
+            and not isinstance(params["conformer"]["layers"], list)
+        ):
+            # stage-stacked layout == fit() placed the state over the
+            # (data, pipe) mesh; everything else (eval/decode CLIs, serving
+            # exports, single-chip restores) keeps the per-layer list layout
+            # and takes the numerically equal sequential apply below
+            from ..parallel.pp import apply_conformer_pipelined, make_mesh_dp_pp
+
+            mesh = make_mesh_dp_pp(
+                max(cfg.pipeline_data_parallel, 1), cfg.pipeline_stages
+            )
+            out = apply_conformer_pipelined(
+                params["conformer"], cfg.conformer_spec(), xs, lengths,
+                mesh, cfg.pipeline_microbatches, train=train, rng=rng,
+                keep_prob=cfg.dropout_keep_prob, data_axis="data",
+            )
+            return EncoderOutput(out, lengths)
+
         from .conformer import apply_conformer
 
         out = apply_conformer(

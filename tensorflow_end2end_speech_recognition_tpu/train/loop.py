@@ -326,7 +326,37 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     start_epoch = 0
     mesh = None
     tp = exp.num_model_shards or 1
-    if (exp.num_devices and exp.num_devices > 1) or tp > 1:
+    pp = exp.num_pipeline_stages or 1
+    if tp > 1 and pp > 1:
+        raise ValueError(
+            "num_model_shards with num_pipeline_stages (tp x pp) is not "
+            "supported; pick one model-sharding axis"
+        )
+    if pp > 1:
+        from ..parallel import make_mesh_dp_pp
+
+        total = exp.num_devices or pp
+        if total % pp:
+            raise ValueError(
+                f"num_devices {total} not divisible by num_pipeline_stages {pp}"
+            )
+        dp = total // pp
+        mb = exp.num_pipeline_microbatches or 4 * pp
+        for name, b in (("batch_size", exp.batch_size),
+                        ("eval_batch_size", exp.eval_batch_size or exp.batch_size)):
+            if b % mb:
+                raise ValueError(
+                    f"{name} {b} not divisible by num_pipeline_microbatches {mb}"
+                )
+            if (b // mb) % dp:
+                raise ValueError(
+                    f"{name} {b} / {mb} microbatches leaves {b // mb} rows, "
+                    f"not divisible by data-parallel degree {dp}"
+                )
+        mesh = make_mesh_dp_pp(dp, pp)
+        print_fn(f"mesh: {dp}-way data x {pp}-stage pipeline "
+                 f"({mb} microbatches, {jax.process_count()} process(es))")
+    elif (exp.num_devices and exp.num_devices > 1) or tp > 1:
         from ..parallel import make_mesh, make_mesh_2d
 
         total = exp.num_devices or tp
@@ -370,7 +400,16 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         print_fn(f"resuming from checkpoint epoch {start_epoch - 1}")
     if mesh is not None:
         # after any resume, so restored state is re-placed over the mesh
-        if tp > 1:
+        if pp > 1:
+            # checkpoints stay in the universal per-layer list layout (so
+            # eval/decode/serving CLIs restore them on any topology); the
+            # resident training state is stage-stacked + sharded over pipe
+            from ..parallel import pp_stack_tree, setup_pipeline_parallel
+
+            params = pp_stack_tree(params, pp)
+            opt_state = pp_stack_tree(opt_state, pp)
+            params, opt_state, _ = setup_pipeline_parallel(mesh, params, opt_state)
+        elif tp > 1:
             from ..parallel import setup_tensor_parallel
 
             params, opt_state, _ = setup_tensor_parallel(mesh, params, opt_state)
@@ -426,12 +465,18 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         # controller advances first so the checkpointed state already
         # reflects this epoch's decision (resume then continues exactly)
         lr = controller.update(epoch, dev["error_rate"])
+        if pp > 1:  # persist the universal list layout (see placement above)
+            from ..parallel import pp_unstack_tree
+
+            save_params, save_opt = pp_unstack_tree(params), pp_unstack_tree(opt_state)
+        else:
+            save_params, save_opt = params, opt_state
         ckpts.save(
             epoch,
             {
-                "params": params,
+                "params": save_params,
                 "extra": {
-                    "opt_state": opt_state,
+                    "opt_state": save_opt,
                     "rng": rng,
                     "lr_controller": controller.state_dict(),
                     "step": step,

@@ -109,6 +109,13 @@ class ExperimentConfig:
     # 2-D (data x model) and shards the conformer/transformer block weights
     # Megatron-style (parallel/tp.py); num_devices stays the TOTAL chips.
     num_model_shards: int | None = None
+    # pipeline parallelism (parallel/pp.py; conformer/transformer only):
+    # num_pipeline_stages > 1 folds the mesh to 2-D (data x pipe), shards
+    # the block stack into contiguous stages along ``pipe``, and streams
+    # num_pipeline_microbatches GPipe microbatches through them per step.
+    # num_devices stays the TOTAL chips (dp = num_devices / stages).
+    num_pipeline_stages: int | None = None
+    num_pipeline_microbatches: int | None = None  # default 4 * stages
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0
@@ -198,6 +205,18 @@ class ExperimentConfig:
         # XLA's SPMD partitioner drops the grouped-conv kernel gradient there
         # (models/conformer.py ConformerSpec.depthwise_impl)
         depthwise = "shifts" if (self.num_model_shards or 1) > 1 else "conv"
+        pp = self.num_pipeline_stages or 1
+        if pp > 1:
+            if self.encoder_type not in ("conformer", "transformer"):
+                raise ValueError(
+                    "num_pipeline_stages requires encoder_type conformer/"
+                    f"transformer (uniform blocks), got {self.encoder_type!r}"
+                )
+            if self.num_layers % pp:
+                raise ValueError(
+                    f"num_layers {self.num_layers} not divisible by "
+                    f"num_pipeline_stages {pp}"
+                )
         return EncoderConfig(
             encoder_type=self.encoder_type,
             num_units=self.num_units,
@@ -215,6 +234,9 @@ class ExperimentConfig:
             ff_expansion=self.ff_expansion,
             compute_dtype=self.compute_dtype,
             depthwise_impl=depthwise,
+            pipeline_stages=self.num_pipeline_stages,
+            pipeline_microbatches=self.num_pipeline_microbatches or 4 * pp,
+            pipeline_data_parallel=(self.num_devices or pp) // pp,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:
