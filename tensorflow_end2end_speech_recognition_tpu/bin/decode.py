@@ -72,6 +72,15 @@ def main(argv=None):
         from ..decoding.transducer_greedy import transducer_greedy_decode
         from ..models.transducer import encode
 
+        t_fusion = None
+        if lm_params is not None and args.beam_width > 1:
+            from ..models.lm import make_fusion_lm
+
+            t_fusion = make_fusion_lm(
+                lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+                num_ctc_classes=task.model.vocab_with_blank,
+            )
+
         @jax.jit
         def run(params, b):
             feats, fl = device_pipeline(task, b)
@@ -82,6 +91,8 @@ def main(argv=None):
                 res = transducer_beam_search(
                     params, task.model, out.f_proj, out.enc_len,
                     beam_width=args.beam_width,
+                    fusion_lm=t_fusion,
+                    lm_weight=args.lm_weight if t_fusion is not None else 0.0,
                 )
                 return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
             d, dl = transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)

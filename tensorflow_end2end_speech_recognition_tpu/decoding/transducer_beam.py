@@ -23,6 +23,17 @@ The search is strictly more thorough than greedy: greedy commits the first
 frame-argmax blank, while the beam scores every (label-run + blank)
 termination per frame and keeps the best W — so the top beam hypothesis's
 path score is >= the greedy path's score (tests assert it).
+
+RNN-LM shallow fusion (optional): pass a ``FusionLM`` (the same
+carried-state adapter the CTC prefix beam uses —
+``models.lm.make_fusion_lm`` with ``num_ctc_classes=cfg.vocab_with_blank``;
+unit columns align because both layouts put blank LAST) and a
+``lm_weight``. Label expansions then score
+``lp[k] + lm_weight * lm_logp[k]``; blank commitments take no LM term
+(blank is an alignment event, not a token — standard transducer fusion).
+The LM state rides the beam dict as [B, W, H] leaves, gathered by beam
+parent and advanced once per accepted label — so it carries across
+streaming chunks exactly like the rest of the beam state.
 """
 
 from __future__ import annotations
@@ -69,12 +80,14 @@ def _gather_beam(tree, idx):
 
 
 def beam_init(params, cfg: TransducerConfig, batch_size: int,
-              beam_width: int, max_len: int):
+              beam_width: int, max_len: int, fusion_lm=None):
     """Initial beam: one live hypothesis (SOS consumed), others dead.
 
     The dict is a fixed-shape pytree, so it can ride a ``StreamState``
     across chunks (the same carryable decomposition as the CTC prefix
-    beam's ``beam_init/advance/finalize``).
+    beam's ``beam_init/advance/finalize``). With ``fusion_lm`` the dict
+    additionally carries the LM state + cached next-token log-probs;
+    ``beam_advance`` must then receive the same ``fusion_lm``.
     """
     b, w = batch_size, beam_width
     states0 = pred_initial_states(cfg, b * w)
@@ -83,25 +96,39 @@ def beam_init(params, cfg: TransducerConfig, batch_size: int,
         initial_states=states0,
     )
     unflat = lambda x: x.reshape(b, w, *x.shape[1:])
-    return {
+    beam = {
         "score": jnp.full((b, w), _NEG).at[:, 0].set(0.0),
         "g": unflat(g0[:, 0]),
         "states": jax.tree.map(unflat, states0),
         "prefix": jnp.full((b, w, max_len), -1, jnp.int32),
         "plen": jnp.zeros((b, w), jnp.int32),
     }
+    if fusion_lm is not None:
+        beam["lm_state"], beam["lm_logp"] = fusion_lm.init(b, w)
+    return beam
 
 
 def beam_advance(params, cfg: TransducerConfig, beam, f_proj, n_valid,
-                 max_symbols: int | None = None):
+                 max_symbols: int | None = None,
+                 fusion_lm=None, lm_weight: float = 0.0):
     """Advance the beam over ``f_proj`` [B, F, J]'s first ``n_valid`` [B]
-    frames (rows past their count stay frozen bit-exactly)."""
+    frames (rows past their count stay frozen bit-exactly).
+
+    ``fusion_lm``/``lm_weight``: shallow fusion (module docstring) —
+    ``beam`` must have been built by ``beam_init`` with the same
+    ``fusion_lm`` so the carried LM leaves exist. ``beam["score"]`` then
+    accumulates the FUSED objective (AM path + lm_weight * LM prefix).
+    """
     b, t, _ = f_proj.shape
     w = beam["score"].shape[1]
     s = max_symbols or cfg.max_symbols_per_frame
     max_len = beam["prefix"].shape[2]
     blank = cfg.blank_id
     v1 = cfg.vocab_with_blank
+    use_lm = fusion_lm is not None and lm_weight
+    if use_lm and "lm_logp" not in beam:
+        raise ValueError("fusion_lm passed but beam carries no LM state — "
+                         "build it with beam_init(..., fusion_lm=...)")
     frame_ok = (jnp.arange(t)[:, None] < n_valid[None, :])  # [T, B]
 
     def frame(beam, inp):
@@ -129,6 +156,8 @@ def beam_advance(params, cfg: TransducerConfig, beam, f_proj, n_valid,
                 break
             # label expansions -> next round's live set
             lab = live["score"][..., None] + lp[..., :blank]  # [B, W, V]
+            if use_lm:  # shallow fusion on label emissions only
+                lab = lab + lm_weight * live["lm_logp"][..., :blank]
             # hypotheses at the prefix cap stop expanding (score floor)
             lab = jnp.where((live["plen"] < max_len)[..., None], lab, _NEG)
             flat_scores = lab.reshape(b, w * (v1 - 1))
@@ -150,6 +179,15 @@ def beam_advance(params, cfg: TransducerConfig, beam, f_proj, n_valid,
                 "prefix": prefix,
                 "plen": jnp.minimum(new_live["plen"] + 1, max_len),
             }
+            if use_lm:  # advance the LM once per accepted token
+                live["lm_state"], live["lm_logp"] = fusion_lm.step(
+                    new_live["lm_state"], token
+                )
+            elif "lm_state" in beam:
+                # carried LM leaves but zero weight: keep the pytree
+                # structure intact (parent-gathered, not advanced)
+                live["lm_state"] = new_live["lm_state"]
+                live["lm_logp"] = new_live["lm_logp"]
         # rows past their encoder length keep the incoming beam untouched
         keep = ok.reshape(b, 1)
         nxt = jax.tree.map(
@@ -177,17 +215,23 @@ def transducer_beam_search(
     beam_width: int = 8,
     max_symbols: int | None = None,
     max_len: int | None = None,
+    fusion_lm=None,
+    lm_weight: float = 0.0,
 ):
     """Beam search over joint-space encoder activations.
 
     Returns hypotheses sorted best-first per row; ``scores`` are raw log
-    path probabilities (length normalization is the caller's policy, as in
-    ``attention_beam.py``). ``max_len`` caps hypothesis length; the default
-    ``T * max_symbols`` is the same bound greedy's output buffer has, so
-    beam transcripts are never truncated relative to greedy.
+    path probabilities — or the fused ``AM + lm_weight * LM`` objective
+    when shallow fusion is on (length normalization is the caller's
+    policy, as in ``attention_beam.py``). ``max_len`` caps hypothesis
+    length; the default ``T * max_symbols`` is the same bound greedy's
+    output buffer has, so beam transcripts are never truncated relative
+    to greedy.
     """
     b, t, _ = f_proj.shape
     s = max_symbols or cfg.max_symbols_per_frame
-    beam = beam_init(params, cfg, b, beam_width, max_len or t * s)
-    beam = beam_advance(params, cfg, beam, f_proj, enc_len, max_symbols=s)
+    beam = beam_init(params, cfg, b, beam_width, max_len or t * s,
+                     fusion_lm=fusion_lm)
+    beam = beam_advance(params, cfg, beam, f_proj, enc_len, max_symbols=s,
+                        fusion_lm=fusion_lm, lm_weight=lm_weight)
     return beam_finalize(beam)

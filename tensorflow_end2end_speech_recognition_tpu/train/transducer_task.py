@@ -128,18 +128,26 @@ def make_beam_eval_step(task: TransducerTaskConfig, beam_width: int,
 
     The third output stays the teacher-forced transducer nll (not the beam
     score), so bin/eval's ``loss`` column means the same thing across
-    greedy/beam runs. LM shallow fusion is not wired into the transducer
-    beam (the prediction network IS an internal LM); a passed ``lm`` is
-    ignored with a warning.
+    greedy/beam runs. ``lm``: (lm_params, LMConfig) enables carried-state
+    shallow fusion on label emissions (decoding/transducer_beam.py) — the
+    external LM complements the label-context prediction network the same
+    way the reference fused an RNN-LM over the attention decoder's
+    internal model (SURVEY.md §2.10).
     """
     from ..decoding.transducer_beam import transducer_beam_search
 
     cfg = task.model
+    fusion_lm = None
     if lm is not None and lm_weight:
-        import warnings
+        from ..models.lm import make_fusion_lm
 
-        warnings.warn("transducer beam ignores RNN-LM fusion (the prediction "
-                      "network is the label model)")
+        lm_params, lm_cfg = lm
+        # vocab_with_blank lays out units then blank LAST — the same class
+        # layout the CTC adapter maps the LM onto, so it is reused verbatim
+        fusion_lm = make_fusion_lm(
+            lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+            num_ctc_classes=cfg.vocab_with_blank,
+        )
 
     @jax.jit
     def eval_step(params, batch):
@@ -147,7 +155,8 @@ def make_beam_eval_step(task: TransducerTaskConfig, beam_width: int,
         out = encode(params, cfg, feats, feat_len, train=False)
         nll = _teacher_nll(params, cfg, out, batch)
         res = transducer_beam_search(
-            params, cfg, out.f_proj, out.enc_len, beam_width=beam_width
+            params, cfg, out.f_proj, out.enc_len, beam_width=beam_width,
+            fusion_lm=fusion_lm, lm_weight=lm_weight,
         )
         return res.tokens[:, 0], res.lengths[:, 0], nll
 

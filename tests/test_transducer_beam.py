@@ -170,3 +170,134 @@ def test_beam_emits_full_symbol_budget_runs():
     )
     np.testing.assert_allclose(float(res1.scores[0, 0]), best_score, rtol=1e-5)
     assert list(np.asarray(res1.tokens[0, 0][: int(res1.lengths[0, 0])])) == best_seq
+
+
+def _lm(num_classes, seed=7):
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import (
+        LMConfig,
+        init_lm,
+    )
+
+    lm_cfg = LMConfig(vocab=num_classes + 2, num_units=8, embedding_dim=4)
+    return init_lm(jax.random.PRNGKey(seed), lm_cfg), lm_cfg
+
+
+def _fusion(params_lm, lm_cfg, cfg):
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import make_fusion_lm
+
+    return make_fusion_lm(
+        params_lm, lm_cfg, sos_id=lm_cfg.vocab - 2,
+        num_ctc_classes=cfg.vocab_with_blank,
+    )
+
+
+def _lm_prefix_sum(params_lm, lm_cfg, labels):
+    """sum_i log p_lm(l_i | sos, l_<i) for a flat label sequence."""
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import (
+        lm_init_state,
+        lm_step,
+    )
+
+    state = lm_init_state(lm_cfg, 1)
+    state, logp = lm_step(
+        params_lm, lm_cfg, state, jnp.asarray([lm_cfg.vocab - 2], jnp.int32)
+    )
+    total = 0.0
+    for k in labels:
+        total += float(logp[0, k])
+        state, logp = lm_step(params_lm, lm_cfg, state, jnp.asarray([k], jnp.int32))
+    return total
+
+
+def test_beam_lm_fusion_matches_exhaustive_fused_oracle():
+    """Shallow fusion: the fused beam's top hypothesis equals the exhaustive
+    best path under AM + w * LM (LM charged per emitted label, not blanks).
+
+    The weight is NEGATIVE by design: an alignment's AM score always pays
+    exactly T blank factors plus per-label factors <= 0, so with a tiny
+    random joint the AM-best path is the empty one for any input — and an
+    empty winner would never read the LM. A negative weight makes label
+    emissions profitable, forcing a multi-token winner whose selection
+    exercises the fused scoring AND the carried LM state across tokens;
+    the arithmetic under test is sign-blind.
+    """
+    cfg = _tiny_cfg(num_classes=2, s=2)
+    params = init_transducer(jax.random.PRNGKey(0), cfg, 5)
+    (lm_params, lm_cfg), lm_weight = _lm(cfg.num_classes), -2.0
+    fusion = _fusion(lm_params, lm_cfg, cfg)
+    rng = np.random.RandomState(0)
+    t = 2
+    f_proj = jnp.asarray(rng.randn(1, t, cfg.joint_dim).astype(np.float32))
+    enc_len = jnp.asarray([t], jnp.int32)
+
+    runs = [()]
+    for r in (1, 2):
+        runs += list(itertools.product(range(cfg.num_classes), repeat=r))
+    best_score, best_seq = -np.inf, None
+    for emis in itertools.product(runs, repeat=t):
+        flat = [k for labs in emis for k in labs]
+        sc = _path_score(params, cfg, f_proj[0], emis) \
+            + lm_weight * _lm_prefix_sum(lm_params, lm_cfg, flat)
+        if sc > best_score:
+            best_score, best_seq = sc, flat
+
+    res = transducer_beam_search(
+        params, cfg, f_proj, enc_len, beam_width=16,
+        fusion_lm=fusion, lm_weight=lm_weight,
+    )
+    got = list(np.asarray(res.tokens[0, 0][: int(res.lengths[0, 0])]))
+    np.testing.assert_allclose(float(res.scores[0, 0]), best_score, rtol=1e-5)
+    assert got == best_seq, (got, best_seq)
+    # the winning hypothesis emits labels, so the LM term is genuinely
+    # exercised (an empty path would make the oracle equality vacuous)
+    assert len(best_seq) > 0
+    res0 = transducer_beam_search(params, cfg, f_proj, enc_len, beam_width=16)
+    assert abs(float(res0.scores[0, 0]) - best_score) > 1e-4
+
+
+def test_beam_lm_fusion_zero_weight_is_identity():
+    """fusion_lm attached with lm_weight=0 must not perturb the search."""
+    cfg = _tiny_cfg(num_classes=3, s=2)
+    params = init_transducer(jax.random.PRNGKey(4), cfg, 5)
+    lm_params, lm_cfg = _lm(cfg.num_classes)
+    fusion = _fusion(lm_params, lm_cfg, cfg)
+    rng = np.random.RandomState(4)
+    f_proj = jnp.asarray(rng.randn(2, 4, cfg.joint_dim).astype(np.float32))
+    enc_len = jnp.asarray([4, 3], jnp.int32)
+    a = transducer_beam_search(params, cfg, f_proj, enc_len, beam_width=4)
+    b = transducer_beam_search(params, cfg, f_proj, enc_len, beam_width=4,
+                               fusion_lm=fusion, lm_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), rtol=1e-6)
+
+
+def test_transducer_beam_eval_step_with_lm_runs():
+    """make_beam_eval_step(lm=...) fuses (no warning) and decodes."""
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.train.transducer_task import (
+        TransducerTaskConfig,
+        init_params,
+        make_beam_eval_step,
+    )
+
+    cfg = _tiny_cfg(num_classes=4, s=2)
+    task = TransducerTaskConfig(
+        model=cfg, frontend=FrontendConfig(add_deltas=False, use_energy=False),
+        num_stack=3, num_skip=3,
+    )
+    params = init_params(jax.random.PRNGKey(5), task)
+    lm = _lm(cfg.num_classes)
+    rng = np.random.RandomState(5)
+    batch = {
+        "inputs": jnp.asarray(rng.randn(2, 4096).astype(np.float32) * 0.1),
+        "input_len": jnp.full((2,), 4096, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 4, (2, 3)).astype(np.int32)),
+        "label_len": jnp.full((2,), 3, jnp.int32),
+    }
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        step = make_beam_eval_step(task, beam_width=4, lm=lm, lm_weight=0.4)
+        dec, dec_len, nll = step(params, batch)
+    assert dec.shape[0] == 2 and np.all(np.isfinite(np.asarray(nll)))
