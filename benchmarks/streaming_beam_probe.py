@@ -92,3 +92,16 @@ adv = jax.jit(lambda st, lg: beam_advance(st, lg, vl, 28, top_k_classes=16))
 ms4 = bench_threaded(lambda st: adv(st, logits), beam_init(B, W, 200),
                      lambda st: float(jnp.sum(st.lengths)))
 print(f"4. beam_advance alone    (10 frames)   {ms4:8.2f} ms/call", flush=True)
+
+# 5. beam step + RNN-LM shallow fusion (round 3: the carried FusionLM
+# state rides StreamState.beam; one LM step per frame's accepted tokens)
+from tensorflow_end2end_speech_recognition_tpu.models.lm import LMConfig, init_lm
+
+lm_cfg = LMConfig(vocab=30, num_units=512, embedding_dim=256)
+lm_params = init_lm(jax.random.PRNGKey(1), lm_cfg)
+li, ls, lf = build_streaming_fn(task, params, CHUNK, beam_width=W,
+                                lm=(lm_params, lm_cfg), lm_weight=0.3)
+lstep = jax.jit(ls)
+ms5 = bench_threaded(lambda s: lstep(s, ck, cl)[0], li(B),
+                     lambda s: float(jnp.sum(s.beam.lengths)))
+print(f"5. beam step + LM fusion B={B} W={W} LM 512u {ms5:8.2f} ms/chunk", flush=True)

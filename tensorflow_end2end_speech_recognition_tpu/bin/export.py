@@ -42,7 +42,8 @@ def main(argv=None):
     ap.add_argument("--platforms", nargs="*", default=None)
     ap.add_argument("--lm-dir", default=None,
                     help="RNN-LM dir from bin.train_lm: bake shallow fusion "
-                         "into the beam-decode graph")
+                         "into the beam-decode graph (batch AND --streaming "
+                         "artifacts; needs --beam-width > 1)")
     ap.add_argument("--lm-weight", type=float, default=0.3)
     ap.add_argument("--streaming", action="store_true",
                     help="export the chunked streaming step instead of the "
@@ -64,6 +65,12 @@ def main(argv=None):
     )
     params = state["params"]
 
+    lm = None
+    if args.lm_dir:
+        from .train_lm import load_lm
+
+        lm = load_lm(args.lm_dir)
+
     if args.streaming:
         from ..serving import export_streaming_model, load_streaming
 
@@ -79,8 +86,10 @@ def main(argv=None):
             task, params, args.out_path, args.batch, chunk, tokenizer=tokenizer,
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"label_type": exp.label_type,
-                        "sample_rate": task.frontend.sample_rate},
+                        "sample_rate": task.frontend.sample_rate,
+                        "lm_weight": args.lm_weight if lm else 0.0},
             beam_width=args.beam_width,
+            lm=lm, lm_weight=args.lm_weight,
         )
         print(f"exported epoch-{epoch} streaming {exp.model_type}/"
               f"{exp.encoder_type} chunk {chunk} samples beam "
@@ -103,11 +112,6 @@ def main(argv=None):
         num = int(args.seconds * task.frontend.sample_rate)
     else:
         num = args.frames or 1200
-    lm = None
-    if args.lm_dir:
-        from .train_lm import load_lm
-
-        lm = load_lm(args.lm_dir)
     out = export_model(
         task, task_mod, params, args.out_path, args.batch, num,
         beam_width=args.beam_width, tokenizer=tokenizer,

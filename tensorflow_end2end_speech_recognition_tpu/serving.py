@@ -79,12 +79,14 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1,
         from .decoding.transducer_greedy import transducer_greedy_decode
         from .models.transducer import encode
 
-        if lm is not None and lm_weight:
-            import warnings
+        t_fusion = None
+        if lm is not None and lm_weight and beam_width > 1:
+            from .models.lm import make_fusion_lm
 
-            warnings.warn(
-                "transducer artifacts do not bake RNN-LM fusion (the "
-                "prediction network is the label model); exporting without it"
+            lm_params, lm_cfg = lm
+            t_fusion = make_fusion_lm(
+                lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+                num_ctc_classes=task.model.vocab_with_blank,
             )
 
         def infer(inputs, input_len):
@@ -96,6 +98,8 @@ def build_inference_fn(task, task_mod, params, beam_width: int = 1,
                 res = transducer_beam_search(
                     params, task.model, out.f_proj, out.enc_len,
                     beam_width=beam_width,
+                    fusion_lm=t_fusion,
+                    lm_weight=lm_weight if t_fusion is not None else 0.0,
                 )
                 return res.tokens[:, 0], res.lengths[:, 0]
             return transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
@@ -211,6 +215,8 @@ def export_streaming_model(
     beam_width: int = 1,
     top_k_classes: int = 16,
     max_prefix_len: int = 200,
+    lm=None,
+    lm_weight: float = 0.0,
 ) -> Path:
     """Freeze the streaming chunk step (``streaming.build_streaming_fn``).
 
@@ -228,12 +234,18 @@ def export_streaming_model(
     once at stream end. Frame-stacked tasks set ``"final_flush": true`` in
     the contract: the driver must send ``chunk_len = -1`` at an
     exact-chunk-boundary stream end (``streaming.py`` docstring).
+
+    ``lm`` = (lm_params, LMConfig) + ``lm_weight`` bake RNN-LM shallow
+    fusion into the frozen beam step (the LM weights become artifact
+    constants, its per-slot state extra ``state_leaves`` — the contract
+    mechanism carries it with no loader changes).
     """
     from .streaming import build_streaming_fn
 
     fns = build_streaming_fn(
         task, params, chunk_samples, beam_width=beam_width,
         top_k_classes=top_k_classes, max_prefix_len=max_prefix_len,
+        lm=lm, lm_weight=lm_weight,
     )
     init_fn, step_fn = fns[0], fns[1]
     state0 = init_fn(batch_size)

@@ -137,8 +137,15 @@ def carry_samples(frontend) -> int:
 
 def build_streaming_fn(task, params, chunk_samples: int,
                        beam_width: int = 1, top_k_classes: int = 16,
-                       max_prefix_len: int = 200):
+                       max_prefix_len: int = 200,
+                       lm=None, lm_weight: float = 0.0):
     """Returns ``(init_fn, step_fn)`` — plus ``finalize_fn`` in beam mode.
+
+    ``lm``: (lm_params, LMConfig) adds RNN-LM shallow fusion to the carried
+    beam (CTC prefix beam and transducer beam alike): the LM state rides
+    ``StreamState.beam`` per slot, so chunked+fused equals the offline
+    fused beam search exactly. Beam mode only (greedy ignores it, as in
+    ``bin/eval.py``).
 
     ``task`` is a ``CTCTaskConfig`` or ``TransducerTaskConfig`` (transducer
     mode carries (g, prediction-state) and emits frame-synchronous greedy
@@ -174,6 +181,16 @@ def build_streaming_fn(task, params, chunk_samples: int,
     is_transducer = isinstance(task, TransducerTaskConfig)
     fe = task.frontend
     cfg = task.model
+    fusion_lm = None
+    if lm is not None and lm_weight and beam_width > 1:
+        from .models.lm import make_fusion_lm
+
+        lm_params, lm_cfg = lm
+        # both class layouts put blank LAST, so the CTC adapter serves both
+        fusion_lm = make_fusion_lm(
+            lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+            num_ctc_classes=cfg.vocab_with_blank,
+        )
     enc_cfg = cfg.encoder
     spec = enc_cfg.spec()
     step_sz, length = fe.frame_step, fe.frame_length
@@ -201,7 +218,8 @@ def build_streaming_fn(task, params, chunk_samples: int,
         if beam_width > 1 and not is_transducer:
             from .decoding.ctc_prefix_beam import beam_init
 
-            beam = beam_init(batch_size, beam_width, max_prefix_len)
+            beam = beam_init(batch_size, beam_width, max_prefix_len,
+                             fusion_lm=fusion_lm, lm_weight=lm_weight)
         transducer = None
         if is_transducer:
             from .decoding.transducer_greedy import decoder_init
@@ -211,7 +229,7 @@ def build_streaming_fn(task, params, chunk_samples: int,
                 from .decoding.transducer_beam import beam_init as t_beam_init
 
                 beam = t_beam_init(params, cfg, batch_size, beam_width,
-                                   max_prefix_len)
+                                   max_prefix_len, fusion_lm=fusion_lm)
         return StreamState(
             sample_carry=jnp.zeros((batch_size, k), jnp.float32),
             samples_seen=jnp.zeros((batch_size,), jnp.int32),
@@ -334,7 +352,9 @@ def build_streaming_fn(task, params, chunk_samples: int,
                 # the transducer beam rides the chunks exactly like the CTC
                 # prefix beam: greedy partials stream live above, the beam
                 # transcript comes from finalize_fn at stream end
-                new_beam = t_beam_advance(params, cfg, state.beam, f_proj, n_enc)
+                new_beam = t_beam_advance(params, cfg, state.beam, f_proj, n_enc,
+                                          fusion_lm=fusion_lm,
+                                          lm_weight=lm_weight)
         else:
             if cfg.bottleneck_dim:
                 xs = _affine(params["bottleneck"], xs)
@@ -361,6 +381,7 @@ def build_streaming_fn(task, params, chunk_samples: int,
                 new_beam = beam_advance(
                     state.beam, logits, n_enc, cfg.blank_id,
                     top_k_classes=top_k_classes,
+                    fusion_lm=fusion_lm, lm_weight=lm_weight,
                 )
 
         new_state = StreamState(
@@ -394,7 +415,7 @@ def build_streaming_fn(task, params, chunk_samples: int,
             from .decoding.ctc_prefix_beam import beam_finalize
 
             def finalize_fn(state: StreamState):
-                return beam_finalize(state.beam)
+                return beam_finalize(state.beam, lm_weight=lm_weight)
 
         return init_fn, step_fn, finalize_fn
     return init_fn, step_fn

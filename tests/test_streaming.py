@@ -553,3 +553,203 @@ def test_transducer_streaming_beam_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want.scores),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want.tokens))
+
+
+def _toy_lm(num_units_vocab, seed=11):
+    """(lm_params, LMConfig) over `num_units_vocab` task units (+sos/eos)."""
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import (
+        LMConfig,
+        init_lm,
+    )
+
+    cfg = LMConfig(vocab=num_units_vocab + 2, num_units=8, embedding_dim=4)
+    return init_lm(jax.random.PRNGKey(seed), cfg), cfg
+
+
+def _fusion_for(lm, model_cfg):
+    from tensorflow_end2end_speech_recognition_tpu.models.lm import make_fusion_lm
+
+    lm_params, lm_cfg = lm
+    return make_fusion_lm(lm_params, lm_cfg, sos_id=lm_cfg.vocab - 2,
+                          num_ctc_classes=model_cfg.vocab_with_blank)
+
+
+def test_streaming_beam_lm_fusion_equals_offline():
+    """Chunked CTC prefix beam WITH carried-LM shallow fusion must equal the
+    offline fused beam search (LM state rides StreamState.beam per slot)."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding import ctc_prefix_beam_search
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import apply_ctc
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(8), task)
+    lm = _toy_lm(task.model.num_classes)
+    lm_weight = 0.5
+    rng = np.random.RandomState(8)
+    b, chunk = 2, 1600
+    wav = jnp.asarray(rng.randn(b, 4 * chunk).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([4 * chunk, 3 * chunk - 800], jnp.int32)
+    W, K, L = 4, 5, 50
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = apply_ctc(params, task.model, feats, fl)
+    want_p, want_l, want_s = (
+        np.asarray(x)
+        for x in ctc_prefix_beam_search(
+            out.logits, out.logit_len, task.model.blank_id, beam_width=W,
+            top_k_classes=K, max_prefix_len=L,
+            fusion_lm=_fusion_for(lm, task.model), lm_weight=lm_weight,
+        )
+    )
+
+    init_fn, step_fn, finalize_fn = build_streaming_fn(
+        task, params, chunk, beam_width=W, top_k_classes=K, max_prefix_len=L,
+        lm=lm, lm_weight=lm_weight,
+    )
+    step_fn = jax.jit(step_fn)
+    state = init_fn(b)
+    wav_np = np.asarray(wav)
+    for k in range(4):
+        cl = np.clip(np.asarray(wav_len) - k * chunk, 0, chunk).astype(np.int32)
+        state, _, _ = step_fn(
+            state, jnp.asarray(wav_np[:, k * chunk : (k + 1) * chunk]),
+            jnp.asarray(cl),
+        )
+    got_p, got_l, got_s = (np.asarray(x) for x in finalize_fn(state))
+    np.testing.assert_array_equal(got_l, want_l)
+    np.testing.assert_array_equal(got_p, want_p)
+    # hypotheses/ranks exact; scores carry ~5e-4 fusion-order drift (the LM
+    # logp matmuls compile differently inside the chunk program)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-3)
+    # the LM really participated: the unfused offline beam ranks differently
+    # or scores differently (fused scores include lm_weight * lm_score)
+    _, _, plain_s = ctc_prefix_beam_search(
+        out.logits, out.logit_len, task.model.blank_id, beam_width=W,
+        top_k_classes=K, max_prefix_len=L,
+    )
+    assert not np.allclose(np.asarray(plain_s), want_s, atol=1e-6)
+
+
+def test_transducer_streaming_beam_lm_fusion_equals_offline():
+    """Chunked transducer beam WITH shallow fusion equals the offline fused
+    search; the carried LM state crosses chunk boundaries."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_beam import (
+        transducer_beam_search,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+        encode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=16, num_layers=1),
+            num_classes=6, pred_num_units=16, embedding_dim=8, joint_dim=16,
+            max_symbols_per_frame=2,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(9), task)
+    lm = _toy_lm(task.model.num_classes)
+    # negative weight => emissions profitable => non-empty winners, so the
+    # carried LM state is genuinely exercised (see test_transducer_beam)
+    lm_weight = -1.5
+    rng = np.random.RandomState(9)
+    b, chunk = 2, 3200
+    wav = jnp.asarray(rng.randn(b, 3 * chunk).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([3 * chunk, 2 * chunk - 800], jnp.int32)
+    w, max_len = 4, 64
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = encode(params, task.model, feats, fl)
+    fusion = _fusion_for(lm, task.model)
+    want = transducer_beam_search(
+        params, task.model, out.f_proj, out.enc_len, beam_width=w,
+        max_len=max_len, fusion_lm=fusion, lm_weight=lm_weight,
+    )
+
+    init_fn, step_fn, finalize_fn = build_streaming_fn(
+        task, params, chunk, beam_width=w, max_prefix_len=max_len,
+        lm=lm, lm_weight=lm_weight,
+    )
+    step_fn = jax.jit(step_fn)
+    state = init_fn(b)
+    wav_np = np.asarray(wav)
+    for k in range(3):
+        lo = k * chunk
+        cl = np.clip(np.asarray(wav_len) - lo, 0, chunk).astype(np.int32)
+        state, _, _ = step_fn(state, jnp.asarray(wav_np[:, lo : lo + chunk]),
+                              jnp.asarray(cl))
+    got = finalize_fn(state)
+    # the LM logp matmuls compile differently inside the chunk program, so
+    # scores carry ~1e-3 fusion-order drift — and this tiny random model's
+    # fused beam is near-DEGENERATE (all W scores within ~1e-3), so exact
+    # rank identity is not numerically meaningful. The contract asserted:
+    # the sorted score sets agree within drift, and the streamed winner is
+    # one of the offline beam's hypotheses with a matching score.
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(want.scores),
+                               rtol=1e-4, atol=2e-3)
+    for i in range(b):
+        got_n = int(got.lengths[i, 0])
+        got_toks = np.asarray(got.tokens[i, 0, :got_n]).tolist()
+        matched = False
+        for j in range(w):
+            cand = np.asarray(want.tokens[i, j, : int(want.lengths[i, j])]).tolist()
+            if cand == got_toks:
+                assert abs(float(got.scores[i, 0]) - float(want.scores[i, j])) < 2e-3
+                matched = True
+                break
+        assert matched, (i, got_toks)
+        assert got_n > 0  # fused winners emit, so the LM state really advanced
+
+
+def test_streaming_beam_lm_export_roundtrip(tmp_path):
+    """Frozen streaming-beam artifact WITH baked LM fusion: the exported
+    step/finalize programs reproduce the offline fused prefix beam (the LM
+    weights are artifact constants, its state extra state_leaves)."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding import ctc_prefix_beam_search
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import apply_ctc
+    from tensorflow_end2end_speech_recognition_tpu.serving import (
+        export_streaming_model,
+        load_streaming,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = _task()
+    params = ctc_task.init_params(jax.random.PRNGKey(10), task)
+    lm = _toy_lm(task.model.num_classes)
+    lm_weight = 0.5
+    rng = np.random.RandomState(10)
+    b, chunk = 2, 1600
+    wav = np.asarray(rng.randn(b, 3 * chunk).astype(np.float32) * 0.3)
+    wav_len = np.asarray([3 * chunk, 2 * chunk - 800], np.int32)
+    W, K, L = 4, 5, 40
+
+    feats, fl = device_pipeline(
+        task, {"inputs": jnp.asarray(wav), "input_len": jnp.asarray(wav_len)}
+    )
+    out_logits = apply_ctc(params, task.model, feats, fl)
+    want_p, want_l, want_s = (
+        np.asarray(x)
+        for x in ctc_prefix_beam_search(
+            out_logits.logits, out_logits.logit_len, task.model.blank_id,
+            beam_width=W, top_k_classes=K, max_prefix_len=L,
+            fusion_lm=_fusion_for(lm, task.model), lm_weight=lm_weight,
+        )
+    )
+
+    out = export_streaming_model(
+        task, params, tmp_path / "sblm.shlo", b, chunk,
+        beam_width=W, top_k_classes=K, max_prefix_len=L,
+        lm=lm, lm_weight=lm_weight,
+    )
+    state, step, finalize = load_streaming(out)
+    for k in range(3):
+        cl = np.clip(wav_len - k * chunk, 0, chunk).astype(np.int32)
+        state, _, _ = step(state, wav[:, k * chunk : (k + 1) * chunk], cl)
+    got_p, got_l, got_s = (np.asarray(x) for x in finalize(state))
+    np.testing.assert_array_equal(got_p, want_p)
+    np.testing.assert_array_equal(got_l, want_l)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-3)
