@@ -47,6 +47,13 @@ class ConformerSpec(NamedTuple):
     # convolutions (measured on this toolchain; 1-D DP meshes are fine).
     # train/loop.py + utils/config.py route this on num_model_shards.
     depthwise_impl: str = "conv"
+    # Mixture-of-Experts feed-forward (models/moe docstring below): > 1
+    # replaces the block's FINAL FF (transformer's ff, conformer's ff2) with
+    # a top-k-gated expert bank whose stacked weights shard over an
+    # ``expert`` mesh axis (parallel/ep.py). 0/1 = dense FF.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_aux_weight: float = 1e-2  # Switch-style load-balance loss weight
 
     def validate(self):
         """Raise a clear config error instead of an opaque in-jit reshape."""
@@ -103,6 +110,83 @@ def _ff(p, x, dt):
     y = _ln(p["ln"], x)
     y = jax.nn.swish(_dense(p["in"], y, dt))
     return _dense(p["out"], y, dt)
+
+
+def _moe_init(key, spec: ConformerSpec):
+    """Mixture-of-Experts FF: router [d, E] + STACKED expert weights.
+
+    The leading expert axis is the sharding handle: ``parallel/ep.py``
+    places ``in``/``out`` leaves as ``P("expert", ...)`` so each chip holds
+    E/S experts (and their optimizer moments) — the parameter-scaling axis
+    for the FF, the way ``tp`` is for attention.
+    """
+    kr, k1, k2 = jax.random.split(key, 3)
+    d, e, n = spec.dim, spec.dim * spec.ff_expansion, spec.moe_experts
+    s_in = jnp.sqrt(6.0 / (d + e))
+    s_out = jnp.sqrt(6.0 / (e + d))
+    return {
+        "ln": _ln_init(d),
+        # small router init: near-uniform initial gates (standard practice —
+        # early routing should be driven by the aux loss, not init noise)
+        "router": {"w": 0.01 * jax.random.normal(kr, (d, n), jnp.float32)},
+        "in": {
+            "w": jax.random.uniform(k1, (n, d, e), jnp.float32, -s_in, s_in),
+            "b": jnp.zeros((n, e), jnp.float32),
+        },
+        "out": {
+            "w": jax.random.uniform(k2, (n, e, d), jnp.float32, -s_out, s_out),
+            "b": jnp.zeros((n, d), jnp.float32),
+        },
+    }
+
+
+def _moe_ff(p, x, mask, spec: ConformerSpec):
+    """Top-k-gated MoE feed-forward; returns (out [B,T,d], aux_loss scalar).
+
+    Dense-evaluation dispatch, the GSPMD-exact formulation: every expert
+    runs on every token ([E, B, T, ff] activations) and the gate matrix
+    (zero outside the top-k) combines them. No capacity factor, no token
+    dropping, no sorting — static shapes, and under an ``expert``-sharded
+    mesh each chip computes only its LOCAL E/S experts over all tokens
+    (the combine einsum contracts the expert axis; XLA inserts the
+    cross-expert reduce). At ep = E shards the per-chip FF FLOPs equal the
+    dense model's with E x the parameters. Single-chip E>4 at production
+    shapes pays E x FF compute — the expert axis is a SCALE-OUT feature;
+    bound E or shard it. Aux loss is the Switch-Transformer load balancer
+    (E * sum_e fraction_e * mean_prob_e over REAL frames; 1.0 = balanced).
+    """
+    dt = _dtype_of(spec)
+    n = spec.moe_experts
+    k = min(spec.moe_top_k, n)
+    y = _ln(p["ln"], x)
+    logits = jnp.matmul(y, p["router"]["w"], preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [B, T, E] f32 routing
+    if k < n:
+        top_vals = jax.lax.top_k(probs, k)[0]
+        gates = jnp.where(probs >= top_vals[..., -1:], probs, 0.0)
+        gates = gates / jnp.maximum(jnp.sum(gates, -1, keepdims=True), 1e-9)
+    else:
+        gates = probs
+    h = (
+        jnp.einsum("btd,edf->ebtf", y.astype(dt), p["in"]["w"].astype(dt),
+                   preferred_element_type=jnp.float32)
+        + p["in"]["b"][:, None, None, :]
+    )
+    h = jax.nn.swish(h)
+    o = (
+        jnp.einsum("ebtf,efd->ebtd", h.astype(dt), p["out"]["w"].astype(dt),
+                   preferred_element_type=jnp.float32)
+        + p["out"]["b"][:, None, None, :]
+    )
+    out = jnp.einsum("ebtd,bte->btd", o, gates)
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    frac = jnp.sum(
+        jax.nn.one_hot(jnp.argmax(probs, -1), n) * m[..., None], (0, 1)
+    ) / denom
+    mean_p = jnp.sum(probs * m[..., None], (0, 1)) / denom
+    aux = n * jnp.sum(frac * mean_p)
+    return out, aux
 
 
 def _mhsa_init(key, spec: ConformerSpec):
@@ -197,17 +281,23 @@ def _conv_module(p, x, mask, spec: ConformerSpec):
 def init_conformer(key, spec: ConformerSpec, input_dim: int):
     spec.validate()
     keys = jax.random.split(key, spec.num_layers + 1)
+    moe = spec.moe_experts and spec.moe_experts > 1
     layers = []
     for i in range(spec.num_layers):
         k1, k2, k3, k4 = jax.random.split(keys[i], 4)
         if spec.block == "transformer":
-            layers.append({"mhsa": _mhsa_init(k2, spec), "ff": _ff_init(k4, spec)})
+            layers.append({
+                "mhsa": _mhsa_init(k2, spec),
+                **({"moe": _moe_init(k4, spec)} if moe
+                   else {"ff": _ff_init(k4, spec)}),
+            })
         else:
             layers.append({
                 "ff1": _ff_init(k1, spec),
                 "mhsa": _mhsa_init(k2, spec),
                 "conv": _conv_init(k3, spec),
-                "ff2": _ff_init(k4, spec),
+                **({"moe": _moe_init(k4, spec)} if moe
+                   else {"ff2": _ff_init(k4, spec)}),
                 "ln": _ln_init(spec.dim),
             })
     params = {"proj": _dense_init(keys[-1], input_dim, spec.dim), "layers": layers}
@@ -225,31 +315,58 @@ def _posenc(t, d):
 
 def apply_conformer(
     params, spec: ConformerSpec, xs, lengths, train=False, rng=None,
-    keep_prob: float = 1.0,
+    keep_prob: float = 1.0, shard_fn=None, return_aux: bool = False,
 ):
-    """[B, T, D] -> [B, T, dim]; pad frames zeroed, lengths unchanged."""
+    """[B, T, D] -> [B, T, dim]; pad frames zeroed, lengths unchanged.
+
+    ``shard_fn`` (optional): applied to the [B, T, dim] activations at the
+    stack entry and after every block — the sequence-parallel hook
+    (``parallel/sp.py`` passes a ``with_sharding_constraint`` pinning rows
+    over ``data`` and time over ``seq``; GSPMD derives the attention
+    gathers and conv halos from it). Identity when None.
+
+    ``return_aux``: also return the mean per-layer MoE load-balance loss
+    (0.0 for dense stacks) as ``(x, aux)`` — requested by ``apply_encoder``
+    whenever ``moe_experts > 1`` so the train tasks can add it.
+    """
     b, t, _ = xs.shape
     dt = _dtype_of(spec)
+    sf = shard_fn if shard_fn is not None else (lambda z: z)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T]
-    x = _dense(params["proj"], xs, dt) + _posenc(t, spec.dim)[None]
+    x = sf(_dense(params["proj"], xs, dt) + _posenc(t, spec.dim)[None])
     n = len(params["layers"])
     drop_keys = jax.random.split(rng, 4 * n) if (train and rng is not None) else None
+    aux_total = jnp.float32(0.0)
 
     def drop(z, i):
         if drop_keys is None:
             return z
         return dropout(drop_keys[i], z, keep_prob, train)
 
+    def final_ff(p, x, li):
+        # the block's final FF: dense, or the top-k expert bank
+        if "moe" in p:
+            y, aux = _moe_ff(p["moe"], x, mask, spec)
+            return y, aux
+        return _ff(p[("ff" if spec.block == "transformer" else "ff2")], x, dt), 0.0
+
     if spec.block == "transformer":
         for li, p in enumerate(params["layers"]):
             x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
-            x = x + drop(_ff(p["ff"], x, dt), 4 * li + 3)
+            y, aux = final_ff(p, x, li)
+            aux_total = aux_total + aux
+            x = sf(x + drop(y, 4 * li + 3))
         x = _ln(params["ln_out"], x)
     else:
         for li, p in enumerate(params["layers"]):
             x = x + 0.5 * drop(_ff(p["ff1"], x, dt), 4 * li)
             x = x + drop(_mhsa(p["mhsa"], x, mask, spec), 4 * li + 1)
             x = x + drop(_conv_module(p["conv"], x, mask, spec), 4 * li + 2)
-            x = x + 0.5 * drop(_ff(p["ff2"], x, dt), 4 * li + 3)
-            x = _ln(p["ln"], x)
-    return x * mask[..., None]
+            y, aux = final_ff(p, x, li)
+            aux_total = aux_total + aux
+            x = x + 0.5 * drop(y, 4 * li + 3)
+            x = sf(_ln(p["ln"], x))
+    out = x * mask[..., None]
+    if return_aux:
+        return out, spec.moe_aux_weight * aux_total / n
+    return out

@@ -43,6 +43,7 @@ class CTCOutput(NamedTuple):
     logit_len: jnp.ndarray  # [B]
     sub_logits: jnp.ndarray | None = None
     sub_logit_len: jnp.ndarray | None = None
+    aux_loss: jnp.ndarray | None = None  # MoE load-balance loss (weighted)
 
 
 def _affine_init(key, din, dout, scale):
@@ -94,4 +95,4 @@ def apply_ctc(
             raise ValueError("encoder produced no sub-task tap")
         sub_logits = _affine(params["sub_head"], enc.sub_outputs)
         sub_len = enc.sub_lengths
-    return CTCOutput(logits, enc.lengths, sub_logits, sub_len)
+    return CTCOutput(logits, enc.lengths, sub_logits, sub_len, enc.aux_loss)

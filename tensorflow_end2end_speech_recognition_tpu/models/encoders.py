@@ -64,6 +64,19 @@ class EncoderConfig(NamedTuple):
     pipeline_stages: int | None = None
     pipeline_microbatches: int = 8
     pipeline_data_parallel: int = 1
+    # sequence (context) parallelism (parallel/sp.py; conformer/transformer
+    # only): > 1 shards the activation TIME axis over a ``seq`` mesh axis
+    # (weights replicate; XLA derives the attention gathers + conv halos
+    # from one constraint per block). sequence_data_parallel is the data-
+    # axis width of the same mesh (total chips = dp * seq shards).
+    sequence_shards: int | None = None
+    sequence_data_parallel: int = 1
+    # Mixture-of-Experts FF (conformer/transformer only): > 1 swaps each
+    # block's final FF for a top-k-gated expert bank; stacked expert weights
+    # shard over an ``expert`` mesh axis via parallel/ep.py
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_aux_weight: float = 1e-2
 
     @property
     def bidirectional(self) -> bool:
@@ -104,6 +117,8 @@ class EncoderConfig(NamedTuple):
             num_heads=self.num_heads, conv_kernel_size=self.conv_kernel_size,
             ff_expansion=self.ff_expansion, compute_dtype=self.compute_dtype,
             block=self.encoder_type, depthwise_impl=self.depthwise_impl,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_aux_weight=self.moe_aux_weight,
         )
 
     def spec(self) -> RNNSpec:
@@ -122,6 +137,9 @@ class EncoderOutput(NamedTuple):
     lengths: jnp.ndarray  # [B]
     sub_outputs: jnp.ndarray | None = None  # multitask tap
     sub_lengths: jnp.ndarray | None = None
+    # weighted MoE load-balance loss (conformer/transformer with
+    # moe_experts > 1); the train tasks add it to their objective
+    aux_loss: jnp.ndarray | None = None
 
 
 ENCODER_TYPES = (
@@ -314,10 +332,34 @@ def apply_encoder(
 
         from .conformer import apply_conformer
 
+        shard_fn = None
+        if cfg.sequence_shards and cfg.sequence_shards > 1:
+            # sequence parallelism: constrain activations [rows over data,
+            # time over seq]; the caller places its inputs over the same
+            # (data, seq) mesh (fit() via setup_sequence_parallel). When
+            # fewer devices are visible than the config asks for (eval/
+            # decode CLIs restoring a seq-parallel checkpoint on one chip),
+            # skip the constraint — the math is placement-independent.
+            import jax as _jax
+
+            from ..parallel.sp import make_mesh_dp_sp, seq_shard_fn
+
+            n_need = max(cfg.sequence_data_parallel, 1) * cfg.sequence_shards
+            if len(_jax.devices()) >= n_need:
+                mesh = make_mesh_dp_sp(
+                    max(cfg.sequence_data_parallel, 1), cfg.sequence_shards
+                )
+                shard_fn = seq_shard_fn(mesh)
+
+        moe = bool(cfg.moe_experts and cfg.moe_experts > 1)
         out = apply_conformer(
             params["conformer"], cfg.conformer_spec(), xs, lengths,
             train=train, rng=rng, keep_prob=cfg.dropout_keep_prob,
+            shard_fn=shard_fn, return_aux=moe,
         )
+        if moe:
+            out, aux = out
+            return EncoderOutput(out, lengths, aux_loss=aux)
         return EncoderOutput(out, lengths)
 
     if cfg.encoder_type == "cnn_zhang":

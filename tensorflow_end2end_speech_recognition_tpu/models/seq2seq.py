@@ -74,6 +74,7 @@ class Seq2SeqOutput(NamedTuple):
     ctc_logit_len: jnp.ndarray | None = None
     enc_out: jnp.ndarray | None = None
     enc_len: jnp.ndarray | None = None
+    aux_loss: jnp.ndarray | None = None  # MoE load-balance loss (weighted)
 
 
 def init_seq2seq(key, cfg: Seq2SeqConfig, input_dim: int):
@@ -216,7 +217,7 @@ def forward_train(
     return Seq2SeqOutput(
         logits.swapaxes(0, 1), aligns.swapaxes(0, 1),
         ctc_logits=ctc_logits, ctc_logit_len=ctc_len,
-        enc_out=enc_out, enc_len=enc.lengths,
+        enc_out=enc_out, enc_len=enc.lengths, aux_loss=enc.aux_loss,
     )
 
 

@@ -55,6 +55,7 @@ class TransducerConfig(NamedTuple):
 class TransducerOutput(NamedTuple):
     f_proj: jnp.ndarray  # [B, T', J] encoder contribution to the joint
     enc_len: jnp.ndarray  # [B]
+    aux_loss: jnp.ndarray | None = None  # MoE load-balance loss (weighted)
 
 
 def _affine_init(key, din, dout, scale):
@@ -94,7 +95,9 @@ def encode(params, cfg: TransducerConfig, feats, feat_len, train=False, rng=None
     """Features -> joint-space encoder activations [B, T', J]."""
     enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len,
                         train=train, rng=rng)
-    return TransducerOutput(_affine(params["enc_proj"], enc.outputs), enc.lengths)
+    return TransducerOutput(
+        _affine(params["enc_proj"], enc.outputs), enc.lengths, enc.aux_loss
+    )
 
 
 def predict(params, cfg: TransducerConfig, tokens, initial_states=None,

@@ -21,6 +21,16 @@ from .pp import (
     stack_layers,
     unstack_layers,
 )
+from .ep import (
+    expert_partition_specs,
+    make_mesh_dp_ep,
+    setup_expert_parallel,
+)
+from .sp import (
+    make_mesh_dp_sp,
+    seq_shard_fn,
+    setup_sequence_parallel,
+)
 from .tp import (
     make_mesh_2d,
     opt_state_shardings,
@@ -30,7 +40,13 @@ from .tp import (
 
 __all__ = [
     "apply_conformer_pipelined",
+    "expert_partition_specs",
+    "make_mesh_dp_ep",
     "make_mesh_dp_pp",
+    "make_mesh_dp_sp",
+    "seq_shard_fn",
+    "setup_expert_parallel",
+    "setup_sequence_parallel",
     "make_mesh_pp",
     "microbatch",
     "pipeline_apply",

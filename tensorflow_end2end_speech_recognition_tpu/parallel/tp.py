@@ -100,6 +100,8 @@ def _spec_for(path_keys: list[str], leaf) -> P:
         return P()
     if "conv" in path_keys:  # conformer conv module: replicated (see module doc)
         return P()
+    if "moe" in path_keys:  # expert banks shard over "expert" (ep.py), not tp
+        return P()
     name = path_keys[-1]
     parent = path_keys[-2] if len(path_keys) >= 2 else ""
     if parent in _COLUMN_PARALLEL:

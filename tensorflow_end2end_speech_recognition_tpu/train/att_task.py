@@ -107,6 +107,10 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
         )
         aux["ctc_nll"] = ctc_nll
         loss = joint_loss(ctc_nll, att_nll, cfg.ctc_loss_weight)
+    if out.aux_loss is not None and train:
+        # MoE load-balance loss (weighted in the encoder); train only
+        loss = loss + out.aux_loss
+        aux["moe_aux"] = out.aux_loss
     if task.weight_decay:
         loss = loss + l2_weight_decay(params, task.weight_decay)
     aux["loss"] = loss

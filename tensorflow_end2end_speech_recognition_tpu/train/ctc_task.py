@@ -98,6 +98,11 @@ def forward_loss(params, task: CTCTaskConfig, batch, train: bool, rng=None):
         sub_mean = batch_mean(sub_nll, row_w)
         loss = w * loss + (1.0 - w) * sub_mean
         aux["ctc_nll_sub"] = sub_mean
+    if out.aux_loss is not None and train:
+        # MoE load-balance loss (already weighted in the encoder); train
+        # only, so eval nll stays a pure data likelihood
+        loss = loss + out.aux_loss
+        aux["moe_aux"] = out.aux_loss
     if task.weight_decay:
         loss = loss + l2_weight_decay(params, task.weight_decay)
     aux["loss"] = loss

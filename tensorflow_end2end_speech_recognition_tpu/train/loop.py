@@ -327,12 +327,49 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     mesh = None
     tp = exp.num_model_shards or 1
     pp = exp.num_pipeline_stages or 1
-    if tp > 1 and pp > 1:
+    sp = exp.num_sequence_shards or 1
+    ep = exp.num_expert_shards or 1
+    if sum(x > 1 for x in (tp, pp, sp, ep)) > 1:
         raise ValueError(
-            "num_model_shards with num_pipeline_stages (tp x pp) is not "
-            "supported; pick one model-sharding axis"
+            "num_model_shards / num_pipeline_stages / num_sequence_shards / "
+            "num_expert_shards are mutually exclusive; pick one "
+            "model-sharding axis"
         )
-    if pp > 1:
+    if ep > 1:
+        from ..parallel.ep import make_mesh_dp_ep
+
+        total = exp.num_devices or ep
+        if total % ep:
+            raise ValueError(
+                f"num_devices {total} not divisible by num_expert_shards {ep}"
+            )
+        dp = total // ep
+        if exp.batch_size % dp:
+            raise ValueError(
+                f"batch_size {exp.batch_size} not divisible by "
+                f"data-parallel degree {dp} (num_devices/num_expert_shards)"
+            )
+        mesh = make_mesh_dp_ep(dp, ep)
+        print_fn(f"mesh: {dp}-way data x {ep}-shard expert parallel "
+                 f"({jax.process_count()} process(es))")
+    elif sp > 1:
+        from ..parallel.sp import make_mesh_dp_sp
+
+        total = exp.num_devices or sp
+        if total % sp:
+            raise ValueError(
+                f"num_devices {total} not divisible by num_sequence_shards {sp}"
+            )
+        dp = total // sp
+        if exp.batch_size % dp:
+            raise ValueError(
+                f"batch_size {exp.batch_size} not divisible by "
+                f"data-parallel degree {dp} (num_devices/num_sequence_shards)"
+            )
+        mesh = make_mesh_dp_sp(dp, sp)
+        print_fn(f"mesh: {dp}-way data x {sp}-shard sequence parallel "
+                 f"({jax.process_count()} process(es))")
+    elif pp > 1:
         from ..parallel import make_mesh_dp_pp
 
         total = exp.num_devices or pp
@@ -413,6 +450,18 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             from ..parallel import setup_tensor_parallel
 
             params, opt_state, _ = setup_tensor_parallel(mesh, params, opt_state)
+        elif sp > 1:
+            # weights replicate over (data, seq); the encoder's activation
+            # constraints (parallel/sp.py seq_shard_fn) shard time on entry
+            from ..parallel.sp import setup_sequence_parallel
+
+            params, opt_state, _ = setup_sequence_parallel(mesh, params, opt_state)
+        elif ep > 1:
+            # stacked expert banks shard over (data, expert) on their
+            # leading E axis; everything else replicates (parallel/ep.py)
+            from ..parallel.ep import setup_expert_parallel
+
+            params, opt_state, _ = setup_expert_parallel(mesh, params, opt_state)
         else:
             from ..parallel import setup_data_parallel
 

@@ -70,9 +70,15 @@ def forward_loss(params, task: TransducerTaskConfig, batch, train: bool, rng=Non
         labels, out.enc_len, label_len, cfg.blank_id,
     )
     loss = batch_mean(nll, batch.get("weight"))
+    aux = {"rnnt_nll": loss}
+    if out.aux_loss is not None and train:
+        # MoE load-balance loss (weighted in the encoder); train only
+        loss = loss + out.aux_loss
+        aux["moe_aux"] = out.aux_loss
     if task.weight_decay:
         loss = loss + l2_weight_decay(params, task.weight_decay)
-    return loss, {"loss": loss, "rnnt_nll": loss}
+    aux["loss"] = loss
+    return loss, aux
 
 
 def make_train_step(task: TransducerTaskConfig, optimizer):

@@ -116,6 +116,21 @@ class ExperimentConfig:
     # num_devices stays the TOTAL chips (dp = num_devices / stages).
     num_pipeline_stages: int | None = None
     num_pipeline_microbatches: int | None = None  # default 4 * stages
+    # sequence (context) parallelism (parallel/sp.py; conformer/transformer
+    # only): num_sequence_shards > 1 folds the mesh to 2-D (data x seq) and
+    # shards the encoder's activation TIME axis (weights replicate) — for
+    # utterances whose activation footprint exceeds one chip's HBM.
+    # num_devices stays the TOTAL chips (dp = num_devices / shards).
+    num_sequence_shards: int | None = None
+    # Mixture-of-Experts FF (conformer/transformer only): moe_num_experts
+    # > 1 swaps each block's final FF for a top-k-gated expert bank
+    # (models/conformer.py). num_expert_shards > 1 folds the mesh to 2-D
+    # (data x expert) and shards the stacked expert weights over ``expert``
+    # (parallel/ep.py); num_devices stays the TOTAL chips.
+    moe_num_experts: int | None = None
+    moe_top_k: int = 2
+    moe_aux_weight: float = 1e-2
+    num_expert_shards: int | None = None
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0
@@ -204,7 +219,12 @@ class ExperimentConfig:
         # 2-D (data x model) meshes need the partition-safe depthwise conv:
         # XLA's SPMD partitioner drops the grouped-conv kernel gradient there
         # (models/conformer.py ConformerSpec.depthwise_impl)
-        depthwise = "shifts" if (self.num_model_shards or 1) > 1 else "conv"
+        # 2-D meshes that split T or d need the partition-safe depthwise conv
+        # (grouped-conv grads also mispartition when TIME is sharded)
+        sp = self.num_sequence_shards or 1
+        depthwise = (
+            "shifts" if (self.num_model_shards or 1) > 1 or sp > 1 else "conv"
+        )
         pp = self.num_pipeline_stages or 1
         if pp > 1:
             if self.encoder_type not in ("conformer", "transformer"):
@@ -216,6 +236,35 @@ class ExperimentConfig:
                 raise ValueError(
                     f"num_layers {self.num_layers} not divisible by "
                     f"num_pipeline_stages {pp}"
+                )
+        if sp > 1 and self.encoder_type not in ("conformer", "transformer"):
+            raise ValueError(
+                "num_sequence_shards requires encoder_type conformer/"
+                f"transformer (parallel over T), got {self.encoder_type!r}"
+            )
+        moe = self.moe_num_experts or 0
+        if moe > 1:
+            if self.encoder_type not in ("conformer", "transformer"):
+                raise ValueError(
+                    "moe_num_experts requires encoder_type conformer/"
+                    f"transformer (MoE feed-forwards), got {self.encoder_type!r}"
+                )
+            if pp > 1:
+                raise ValueError(
+                    "moe_num_experts with num_pipeline_stages is not "
+                    "supported (the pipelined apply has no MoE FF)"
+                )
+        ep = self.num_expert_shards or 1
+        if ep > 1:
+            if moe <= 1:
+                raise ValueError(
+                    "num_expert_shards needs moe_num_experts > 1 (there is "
+                    "no expert bank to shard)"
+                )
+            if moe % ep:
+                raise ValueError(
+                    f"moe_num_experts {moe} not divisible by "
+                    f"num_expert_shards {ep}"
                 )
         return EncoderConfig(
             encoder_type=self.encoder_type,
@@ -237,6 +286,11 @@ class ExperimentConfig:
             pipeline_stages=self.num_pipeline_stages,
             pipeline_microbatches=self.num_pipeline_microbatches or 4 * pp,
             pipeline_data_parallel=(self.num_devices or pp) // pp,
+            sequence_shards=self.num_sequence_shards,
+            sequence_data_parallel=(self.num_devices or sp) // sp,
+            moe_experts=moe,
+            moe_top_k=self.moe_top_k,
+            moe_aux_weight=self.moe_aux_weight,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:
