@@ -26,6 +26,10 @@ from .ep import (
     make_mesh_dp_ep,
     setup_expert_parallel,
 )
+from .fsdp import (
+    fsdp_partition_specs,
+    setup_fsdp,
+)
 from .sp import (
     make_mesh_dp_sp,
     seq_shard_fn,
@@ -41,11 +45,13 @@ from .tp import (
 __all__ = [
     "apply_conformer_pipelined",
     "expert_partition_specs",
+    "fsdp_partition_specs",
     "make_mesh_dp_ep",
     "make_mesh_dp_pp",
     "make_mesh_dp_sp",
     "seq_shard_fn",
     "setup_expert_parallel",
+    "setup_fsdp",
     "setup_sequence_parallel",
     "make_mesh_pp",
     "microbatch",

@@ -335,6 +335,13 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             "num_expert_shards are mutually exclusive; pick one "
             "model-sharding axis"
         )
+    if exp.fsdp and any(x > 1 for x in (tp, pp, sp, ep)):
+        raise ValueError(
+            "fsdp shards the 1-D data mesh and cannot combine with the "
+            "tp/pp/sp/ep axes"
+        )
+    if exp.fsdp and not (exp.num_devices and exp.num_devices > 1):
+        raise ValueError("fsdp needs num_devices > 1 (a data mesh to shard over)")
     if ep > 1:
         from ..parallel.ep import make_mesh_dp_ep
 
@@ -408,8 +415,9 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
                 f"data-parallel degree {dp} (num_devices/num_model_shards)"
             )
         mesh = make_mesh_2d(dp, tp) if tp > 1 else make_mesh(total)
-        print_fn(f"mesh: {dp}-way data x {tp}-way tensor parallel "
-                 f"({jax.process_count()} process(es))")
+        print_fn(f"mesh: {dp}-way data x {tp}-way tensor parallel"
+                 + (" (fsdp: params+moments sharded)" if exp.fsdp else "")
+                 + f" ({jax.process_count()} process(es))")
     if ckpts.latest_epoch is not None:
         # crash/restart recovery (SURVEY.md §5.3): restore the FULL training
         # state — params, optimizer slots, RNG stream, LR-controller state,
@@ -462,6 +470,12 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             from ..parallel.ep import setup_expert_parallel
 
             params, opt_state, _ = setup_expert_parallel(mesh, params, opt_state)
+        elif exp.fsdp:
+            # ZeRO-3: params + moments sharded over the data mesh at rest;
+            # XLA all-gathers weights per use (parallel/fsdp.py)
+            from ..parallel.fsdp import setup_fsdp
+
+            params, opt_state, _ = setup_fsdp(mesh, params, opt_state)
         else:
             from ..parallel import setup_data_parallel
 

@@ -131,6 +131,12 @@ class ExperimentConfig:
     moe_top_k: int = 2
     moe_aux_weight: float = 1e-2
     num_expert_shards: int | None = None
+    # fully-sharded data parallelism (ZeRO-3, parallel/fsdp.py): with
+    # num_devices > 1, shard parameters AND optimizer moments across the
+    # same 1-D data mesh instead of replicating them (weight all-gathers
+    # inserted by XLA per use) — 1/N at-rest state per chip, identical
+    # numerics. Mutually exclusive with the tp/pp/sp/ep axes.
+    fsdp: bool = False
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0
