@@ -54,6 +54,16 @@ class ConformerSpec(NamedTuple):
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_aux_weight: float = 1e-2  # Switch-style load-balance loss weight
+    # "absolute": sinusoidal posenc added at stack entry (the documented
+    # round-2 simplification). "relative": Transformer-XL / Conformer-paper
+    # relative-position MHSA — scores (q+u)·k + rel_shift((q+v)·r) with a
+    # learned projection r of sinusoidal relative embeddings and per-head
+    # u/v biases; length-generalizing and the paper's actual scheme, but
+    # MEASURED 1.8-2.0x the train step on TPU (the [B,h,T,2T-1] BD term —
+    # BASELINE.md round 3). "rotary": RoPE — q/k rotated per position before
+    # the scores; relative semantics at ~the absolute cost (no extra
+    # matmuls, no learned position params). Prefer rotary on TPU.
+    pos_encoding: str = "absolute"
 
     def validate(self):
         """Raise a clear config error instead of an opaque in-jit reshape."""
@@ -66,6 +76,16 @@ class ConformerSpec(NamedTuple):
             raise ValueError(
                 f"conformer dim {self.dim} must be even (sinusoidal posenc "
                 f"pairs sin/cos channels)"
+            )
+        if self.pos_encoding not in ("absolute", "relative", "rotary"):
+            raise ValueError(
+                f"pos_encoding must be 'absolute', 'relative' or 'rotary', "
+                f"got {self.pos_encoding!r}"
+            )
+        if self.pos_encoding == "rotary" and (self.dim // self.num_heads) % 2:
+            raise ValueError(
+                f"rotary needs an even head dim, got "
+                f"{self.dim}/{self.num_heads} = {self.dim // self.num_heads}"
             )
 
 
@@ -190,13 +210,59 @@ def _moe_ff(p, x, mask, spec: ConformerSpec):
 
 
 def _mhsa_init(key, spec: ConformerSpec):
-    kq, kk, kv, ko = jax.random.split(key, 4)
+    kq, kk, kv, ko, kp = jax.random.split(key, 5)
     d = spec.dim
-    return {
+    p = {
         "ln": _ln_init(d),
         "q": _dense_init(kq, d, d), "k": _dense_init(kk, d, d),
         "v": _dense_init(kv, d, d), "o": _dense_init(ko, d, d),
     }
+    if spec.pos_encoding == "relative":
+        h, dh = spec.num_heads, d // spec.num_heads
+        p["pos"] = {"w": _xavier(kp, d, d)}  # projects rel sinusoids, no bias
+        # zero-init content/position biases: at init the scores are the pure
+        # content attention, and pos_u/pos_v learn the global/positional
+        # offsets ("u"/"v" in the Transformer-XL paper; prefixed here —
+        # "v" already names the value projection)
+        p["pos_u"] = jnp.zeros((h, dh), jnp.float32)
+        p["pos_v"] = jnp.zeros((h, dh), jnp.float32)
+    return p
+
+
+def _rel_posemb(t, d):
+    """Sinusoids for relative offsets t-1 .. -(t-1): [2t-1, d]; row k is
+    offset (t-1-k), matching ``_rel_shift``'s output convention."""
+    pos = jnp.arange(t - 1, -t, -1, dtype=jnp.float32)[:, None]
+    i = jnp.arange(d // 2, dtype=jnp.float32)[None, :]
+    ang = pos / jnp.power(10000.0, 2.0 * i / d)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def _rope(x):
+    """Rotary position embedding on [B, h, T, dh] (dh even): each channel
+    pair (2i, 2i+1) rotates by pos / 10000^(2i/dh). Dot products of rotated
+    q/k depend on positions only through their OFFSET — relative semantics
+    with zero extra matmuls and no learned position parameters."""
+    b, h, t, dh = x.shape
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    inv = jnp.power(10000.0, -2.0 * jnp.arange(dh // 2, dtype=jnp.float32) / dh)
+    theta = pos * inv[None, :]  # [T, dh/2]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    return jnp.stack([r1, r2], axis=-1).reshape(b, h, t, dh)
+
+
+def _rel_shift(x):
+    """[B, h, T, 2T-1] -> [B, h, T, T] with out[..., i, j] = x[..., i,
+    (T-1) - i + j] — the Transformer-XL pad-reshape trick (static shapes,
+    no gather; oracle-equality tested)."""
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B, h, T, 2T]
+    x = x.reshape(b, h, 2 * t, t)
+    x = x[:, :, 1:, :].reshape(b, h, t, 2 * t - 1)
+    return x[..., :t]
 
 
 def _mhsa(p, x, mask, spec: ConformerSpec):
@@ -209,10 +275,29 @@ def _mhsa(p, x, mask, spec: ConformerSpec):
     q = split(_dense(p["q"], y, dt))
     k = split(_dense(p["k"], y, dt))
     v = split(_dense(p["v"], y, dt))
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q.astype(dt), k.astype(dt),
-        preferred_element_type=jnp.float32,
-    )
+    if "pos" in p:
+        # Transformer-XL relative attention: (q+u)·k + rel_shift((q+v)·r)
+        r = jnp.matmul(
+            _rel_posemb(t, d).astype(dt), p["pos"]["w"].astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # [2T-1, d]
+        r = r.reshape(2 * t - 1, h, dh).transpose(1, 0, 2)  # [h, 2T-1, dh]
+        ac = jnp.einsum(
+            "bhqd,bhkd->bhqk", (q + p["pos_u"][None, :, None, :]).astype(dt),
+            k.astype(dt), preferred_element_type=jnp.float32,
+        )
+        bd = jnp.einsum(
+            "bhqd,hkd->bhqk", (q + p["pos_v"][None, :, None, :]).astype(dt),
+            r.astype(dt), preferred_element_type=jnp.float32,
+        )
+        scores = ac + _rel_shift(bd)
+    else:
+        if spec.pos_encoding == "rotary":
+            q, k = _rope(q), _rope(k)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(dt), k.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
     scores = scores / jnp.sqrt(jnp.float32(dh))
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)  # mask keys
     att = jax.nn.softmax(scores, axis=-1)
@@ -333,7 +418,12 @@ def apply_conformer(
     dt = _dtype_of(spec)
     sf = shard_fn if shard_fn is not None else (lambda z: z)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T]
-    x = sf(_dense(params["proj"], xs, dt) + _posenc(t, spec.dim)[None])
+    x = _dense(params["proj"], xs, dt)
+    if spec.pos_encoding == "absolute":
+        # absolute sinusoids at stack entry; relative/rotary stacks inject
+        # position inside each MHSA (rel-shift scores / rotated q,k)
+        x = x + _posenc(t, spec.dim)[None]
+    x = sf(x)
     n = len(params["layers"])
     drop_keys = jax.random.split(rng, 4 * n) if (train and rng is not None) else None
     aux_total = jnp.float32(0.0)

@@ -77,6 +77,9 @@ class EncoderConfig(NamedTuple):
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_aux_weight: float = 1e-2
+    # "absolute" sinusoids at stack entry | "relative" Transformer-XL
+    # rel-pos MHSA (conformer/transformer; models/conformer.py)
+    pos_encoding: str = "absolute"
 
     @property
     def bidirectional(self) -> bool:
@@ -119,6 +122,7 @@ class EncoderConfig(NamedTuple):
             block=self.encoder_type, depthwise_impl=self.depthwise_impl,
             moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
             moe_aux_weight=self.moe_aux_weight,
+            pos_encoding=self.pos_encoding,
         )
 
     def spec(self) -> RNNSpec:

@@ -239,7 +239,12 @@ def apply_conformer_pipelined(
     num_stages = mesh.shape[pipe_axis]
     dt = _dtype_of(spec)
     mask = jnp.arange(t)[None, :] < lengths[:, None]  # [B, T]
-    x = _dense(params["proj"], xs, dt) + _posenc(t, spec.dim)[None]
+    x = _dense(params["proj"], xs, dt)
+    if spec.pos_encoding == "absolute":
+        # relative/rotary stacks inject position inside each MHSA (_mhsa
+        # reads spec.pos_encoding + the per-layer pos/pos_u/pos_v params),
+        # same as the sequential apply
+        x = x + _posenc(t, spec.dim)[None]
 
     layers = params["layers"]
     if stacked_layers is not None:

@@ -137,6 +137,11 @@ class ExperimentConfig:
     # inserted by XLA per use) — 1/N at-rest state per chip, identical
     # numerics. Mutually exclusive with the tp/pp/sp/ep axes.
     fsdp: bool = False
+    # conformer/transformer position scheme: "absolute" sinusoids at stack
+    # entry; "relative" Transformer-XL rel-pos MHSA (the Conformer paper's
+    # scheme — measured 1.8-2x the step on TPU); "rotary" RoPE (relative
+    # semantics at ~the absolute cost — prefer on TPU)
+    pos_encoding: str = "absolute"
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0
@@ -297,6 +302,7 @@ class ExperimentConfig:
             moe_experts=moe,
             moe_top_k=self.moe_top_k,
             moe_aux_weight=self.moe_aux_weight,
+            pos_encoding=self.pos_encoding,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:
