@@ -186,10 +186,16 @@ def _frame_blocks(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)  # [..., T, nblk*step]
 
 
-def preemphasize(wav: jnp.ndarray, coeff: float) -> jnp.ndarray:
+def preemphasize(wav: jnp.ndarray, coeff: float, context=None) -> jnp.ndarray:
+    """x[t] - coeff*x[t-1]; x[0] uses itself (= (1-c)*x[0]) like the
+    reference preprocessing, or ``context`` [..., 1] — the sample
+    immediately BEFORE this buffer — when given (streaming continuation:
+    chunk boundaries then preemphasize exactly like the unchunked signal).
+    """
     if coeff == 0.0:
         return wav
-    first = wav[..., :1] * (1.0 - coeff)
+    prev = wav[..., :1] if context is None else context
+    first = wav[..., :1] - coeff * prev
     rest = wav[..., 1:] - coeff * wav[..., :-1]
     return jnp.concatenate([first, rest], axis=-1)
 
@@ -204,7 +210,8 @@ def _dct_matrix(cfg: FrontendConfig) -> np.ndarray:
     return mat.astype(np.float32)
 
 
-def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig,
+                        preemph_context=None) -> jnp.ndarray:
     """[..., N] float32 waveform -> [..., T, base_dim] log-mel or MFCC
     (+ log-energy).
 
@@ -212,7 +219,7 @@ def log_mel_spectrogram(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     two MXU matmuls + one mel matmul (+ one DCT matmul for MFCC); XLA fuses
     the square/add/log in between.
     """
-    wav = preemphasize(wav.astype(jnp.float32), cfg.preemphasis)
+    wav = preemphasize(wav.astype(jnp.float32), cfg.preemphasis, preemph_context)
     frames = _frame_blocks(wav, cfg)  # [..., T, nblk*step] (tail cols over-read)
     cos_m, sin_m = _dft_mats(cfg, pad_rows=frames.shape[-1] - cfg.frame_length)
     re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32)
@@ -280,14 +287,17 @@ def cmvn_utterance(
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def extract_features(
-    wav: jnp.ndarray, wav_len: jnp.ndarray, cfg: FrontendConfig = FrontendConfig()
+    wav: jnp.ndarray, wav_len: jnp.ndarray, cfg: FrontendConfig = FrontendConfig(),
+    preemph_context=None,
 ):
     """Full frontend: [..., N] waveform + valid-sample counts -> features.
 
     Returns ``(feats [..., T, feature_dim], feat_len [...])``. Everything is
     static-shaped; T is derived from the padded waveform length.
+    ``preemph_context`` [..., 1]: the sample before this buffer (streaming —
+    see ``preemphasize``).
     """
-    feats = log_mel_spectrogram(wav, cfg)
+    feats = log_mel_spectrogram(wav, cfg, preemph_context)
     feat_len = num_frames(jnp.asarray(wav_len), cfg)
     if cfg.add_deltas:
         feats = add_deltas(feats, cfg.delta_window)

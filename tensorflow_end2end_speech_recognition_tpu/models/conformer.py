@@ -64,6 +64,13 @@ class ConformerSpec(NamedTuple):
     # the scores; relative semantics at ~the absolute cost (no extra
     # matmuls, no learned position params). Prefer rotary on TPU.
     pos_encoding: str = "absolute"
+    # -1: full bidirectional attention + SAME-padded conv (offline). >= 0:
+    # CHUNK-CAUSAL — each query attends itself + at most `left_context`
+    # past frames, and the depthwise conv is left-padded only (no future) so
+    # the stack streams with a bounded per-layer cache
+    # (models/conformer_stream.py); train offline with the same masks and
+    # the chunked decode equals the offline decode exactly.
+    left_context: int = -1
 
     def validate(self):
         """Raise a clear config error instead of an opaque in-jit reshape."""
@@ -238,20 +245,37 @@ def _rel_posemb(t, d):
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+def _rope_at(x, pos):
+    """Rotary embedding on [B, h, T, dh] at explicit GLOBAL positions
+    ``pos`` [B, T] (float/int) — the streaming step rotates each chunk at
+    its true stream offsets so cached keys stay consistent across chunks."""
+    b, h, t, dh = x.shape
+    inv = jnp.power(10000.0, -2.0 * jnp.arange(dh // 2, dtype=jnp.float32) / dh)
+    theta = pos.astype(jnp.float32)[:, None, :, None] * inv  # [B, 1, T, dh/2]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    r1 = x1 * cos - x2 * sin
+    r2 = x1 * sin + x2 * cos
+    return jnp.stack([r1, r2], axis=-1).reshape(b, h, t, dh)
+
+
 def _rope(x):
     """Rotary position embedding on [B, h, T, dh] (dh even): each channel
     pair (2i, 2i+1) rotates by pos / 10000^(2i/dh). Dot products of rotated
     q/k depend on positions only through their OFFSET — relative semantics
     with zero extra matmuls and no learned position parameters."""
     b, h, t, dh = x.shape
-    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
-    inv = jnp.power(10000.0, -2.0 * jnp.arange(dh // 2, dtype=jnp.float32) / dh)
-    theta = pos * inv[None, :]  # [T, dh/2]
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    r1 = x1 * cos - x2 * sin
-    r2 = x1 * sin + x2 * cos
-    return jnp.stack([r1, r2], axis=-1).reshape(b, h, t, dh)
+    pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.float32)[None], (b, t))
+    return _rope_at(x, pos)
+
+
+def _posenc_at(pos, d):
+    """Sinusoidal absolute embeddings at explicit positions [B, T] -> [B, T, d]
+    (the streaming twin of ``_posenc``; same formula at global offsets)."""
+    p = pos.astype(jnp.float32)[..., None]
+    i = jnp.arange(d // 2, dtype=jnp.float32)[None, None, :]
+    ang = p / jnp.power(10000.0, 2.0 * i / d)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
 def _rel_shift(x):
@@ -300,6 +324,12 @@ def _mhsa(p, x, mask, spec: ConformerSpec):
         )
     scores = scores / jnp.sqrt(jnp.float32(dh))
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)  # mask keys
+    if spec.left_context >= 0:
+        # chunk-causal window: self + at most left_context past frames
+        i = jnp.arange(t)[:, None]
+        j = jnp.arange(t)[None, :]
+        win = (j <= i) & (i - j <= spec.left_context)
+        scores = jnp.where(win[None, None], scores, -1e30)
     att = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", att.astype(dt), v.astype(dt),
@@ -324,18 +354,20 @@ def _conv_init(key, spec: ConformerSpec):
     }
 
 
-def _depthwise_shifts(w, y):
+def _depthwise_shifts(w, y, causal=False):
     """Depthwise temporal conv as shift-multiply-accumulate.
 
     ``w``: [k, 1, d]; ``y``: [B, T, d]. Bit-equivalent to
     ``conv_general_dilated(..., feature_group_count=d, padding="SAME")``
-    but stated as k padded slices x elementwise FMAs, which the SPMD
-    partitioner handles exactly (see ``ConformerSpec.depthwise_impl``).
-    Measured 87.3 vs the grouped conv's 71.8 ms/step at 8x512 single-chip —
-    hence only the model-parallel path pays for it.
+    (or the ``((k-1, 0),)`` left-pad when ``causal``) but stated as k
+    padded slices x elementwise FMAs, which the SPMD partitioner handles
+    exactly (see ``ConformerSpec.depthwise_impl``). Measured 87.3 vs the
+    grouped conv's 71.8 ms/step at 8x512 single-chip — hence only the
+    model-parallel path pays for it.
     """
     k, t = w.shape[0], y.shape[1]
-    lo = (k - 1) // 2  # SAME: extra pad goes at the end (TF convention)
+    # causal: all pad on the left (kernel tap k-1 is "self", 0 the oldest)
+    lo = (k - 1) if causal else (k - 1) // 2
     yp = jnp.pad(y, ((0, 0), (lo, k - 1 - lo), (0, 0)))
     out = jnp.zeros_like(y)
     for i in range(k):
@@ -350,11 +382,14 @@ def _conv_module(p, x, mask, spec: ConformerSpec):
     a, g = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(g)  # GLU
     y = y * mask[..., None]  # pad frames must not leak through the conv
+    causal = spec.left_context >= 0
     if spec.depthwise_impl == "shifts":
-        y = _depthwise_shifts(p["dw"], y)
+        y = _depthwise_shifts(p["dw"], y, causal=causal)
     else:
+        k = p["dw"].shape[0]
         y = jax.lax.conv_general_dilated(
-            y, p["dw"], window_strides=(1,), padding="SAME",
+            y, p["dw"], window_strides=(1,),
+            padding=((k - 1, 0),) if causal else "SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=spec.dim,
             preferred_element_type=jnp.float32,

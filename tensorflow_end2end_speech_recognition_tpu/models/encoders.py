@@ -80,6 +80,10 @@ class EncoderConfig(NamedTuple):
     # "absolute" sinusoids at stack entry | "relative" Transformer-XL
     # rel-pos MHSA (conformer/transformer; models/conformer.py)
     pos_encoding: str = "absolute"
+    # >= 0: chunk-causal conformer/transformer (windowed attention +
+    # causal conv) — trains offline, streams with a bounded cache
+    # (models/conformer_stream.py); -1 = full bidirectional
+    left_context: int = -1
 
     @property
     def bidirectional(self) -> bool:
@@ -123,6 +127,7 @@ class EncoderConfig(NamedTuple):
             moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
             moe_aux_weight=self.moe_aux_weight,
             pos_encoding=self.pos_encoding,
+            left_context=self.left_context,
         )
 
     def spec(self) -> RNNSpec:

@@ -73,6 +73,16 @@ class StreamState(NamedTuple):
     # decoder context; frame-synchronous greedy continues across chunks
     # exactly where the previous chunk stopped
     transducer: tuple | None = None
+    # chunk-causal conformer/transformer encoders (left_context >= 0):
+    # (enc_seen [B], per-layer (k, v[, conv]) caches) — see
+    # models/conformer_stream.py. None for recurrent encoders.
+    conformer: tuple | None = None
+    # [B, 1] the global sample immediately before this buffer: preemphasis
+    # at each chunk's first sample then matches the unchunked signal
+    # exactly (without it every chunk-BOUNDARY frame differed from offline
+    # by up to ~0.5 log-mel — a real round-2 bug the conformer streaming
+    # equality tests exposed; the LSTM tests' argmaxes happened to survive)
+    preemph_ctx: jnp.ndarray | None = None
 
 
 def _validate(task):
@@ -103,10 +113,22 @@ def _validate(task):
             "subsampling would need negative frame carry)"
         )
     enc = task.model.encoder
-    if enc.encoder_type not in ("lstm", "gru"):
+    if enc.encoder_type in ("conformer", "transformer"):
+        if enc.left_context < 0:
+            raise ValueError(
+                "streaming a conformer/transformer needs left_context >= 0 "
+                "(chunk-causal attention + causal conv); bidirectional "
+                "stacks have an unbounded window"
+            )
+        if enc.pos_encoding == "relative":
+            raise ValueError(
+                "streaming supports pos_encoding absolute/rotary (the "
+                "relative scheme's rel-shift needs square score matrices)"
+            )
+    elif enc.encoder_type not in ("lstm", "gru"):
         raise ValueError(
-            f"streaming needs a unidirectional encoder (lstm/gru), got "
-            f"{enc.encoder_type!r}"
+            f"streaming needs a causal encoder (lstm/gru, or conformer/"
+            f"transformer with left_context >= 0), got {enc.encoder_type!r}"
         )
     if isinstance(task, CTCTaskConfig) and task.model.num_classes_sub is not None:
         raise ValueError("streaming decodes the main task only")
@@ -192,7 +214,9 @@ def build_streaming_fn(task, params, chunk_samples: int,
             num_ctc_classes=cfg.vocab_with_blank,
         )
     enc_cfg = cfg.encoder
-    spec = enc_cfg.spec()
+    is_conformer = enc_cfg.encoder_type in ("conformer", "transformer")
+    conf_spec = enc_cfg.conformer_spec() if is_conformer else None
+    spec = None if is_conformer else enc_cfg.spec()
     step_sz, length = fe.frame_step, fe.frame_length
     if chunk_samples % step_sz != 0:
         raise ValueError(
@@ -213,6 +237,12 @@ def build_streaming_fn(task, params, chunk_samples: int,
             if spec.cell == "lstm":
                 return (h, jnp.zeros((batch_size, spec.num_units), jnp.float32))
             return (h,)
+
+        conformer = None
+        if is_conformer:
+            from .models.conformer_stream import conformer_cache_init
+
+            conformer = conformer_cache_init(conf_spec, batch_size)
 
         beam = None
         if beam_width > 1 and not is_transducer:
@@ -235,7 +265,8 @@ def build_streaming_fn(task, params, chunk_samples: int,
             samples_seen=jnp.zeros((batch_size,), jnp.int32),
             # buffer frame 0 sits K samples before the stream start
             frame_base=jnp.full((batch_size,), -(k // step_sz), jnp.int32),
-            rnn_states=tuple(layer_state(i) for i in range(enc_cfg.num_layers)),
+            rnn_states=(() if is_conformer else
+                        tuple(layer_state(i) for i in range(enc_cfg.num_layers))),
             prev_id=jnp.full((batch_size,), -1, jnp.int32),
             beam=beam,
             frame_carry=(
@@ -244,6 +275,8 @@ def build_streaming_fn(task, params, chunk_samples: int,
             ),
             carry_len=jnp.zeros((batch_size,), jnp.int32) if stacked else None,
             transducer=transducer,
+            conformer=conformer,
+            preemph_ctx=jnp.zeros((batch_size, 1), jnp.float32),
         )
 
     from .models.ctc import _affine  # affine head shared with the batch path
@@ -256,7 +289,20 @@ def build_streaming_fn(task, params, chunk_samples: int,
         explicit_final = chunk_len < 0
         eff_len = jnp.where(explicit_final, 0, chunk_len)
         buf = jnp.concatenate([state.sample_carry, chunk], axis=1)
-        feats, _ = extract_features(buf, k + eff_len, fe)  # [B, Fb, D]
+        # preemphasis continuity across chunk boundaries (see StreamState
+        # .preemph_ctx): feed the carried previous sample; at stream start
+        # the offline convention is prev = first sample, and the last
+        # zero-carry sample is patched to it so global sample 0
+        # preemphasizes as (1-c)*w0 exactly like the unchunked signal
+        fresh = state.samples_seen == 0
+        ctx = jnp.where(fresh[:, None], chunk[:, :1], state.preemph_ctx)
+        if k > 0:
+            patched = jnp.where(fresh, chunk[:, 0], buf[:, k - 1])
+            buf = jnp.concatenate(
+                [buf[:, : k - 1], patched[:, None], buf[:, k:]], axis=1
+            )
+        feats, _ = extract_features(buf, k + eff_len, fe,
+                                    preemph_context=ctx)  # [B, Fb, D]
         fb = feats.shape[1]
 
         active = eff_len > 0  # rows with chunk_len == 0 are paused: freeze
@@ -314,11 +360,20 @@ def build_streaming_fn(task, params, chunk_samples: int,
 
         xs = xs_in
         new_rnn = []
-        for layer, p in enumerate(params["encoder"]["layers"]):
-            xs, carry = rnn_scan(
-                p, spec, xs, n_enc, initial_state=state.rnn_states[layer]
+        new_conformer = state.conformer
+        if is_conformer:
+            from .models.conformer_stream import conformer_stream_step
+
+            xs, new_conformer = conformer_stream_step(
+                params["encoder"]["conformer"], conf_spec, state.conformer,
+                xs, n_enc,
             )
-            new_rnn.append(carry)
+        else:
+            for layer, p in enumerate(params["encoder"]["layers"]):
+                xs, carry = rnn_scan(
+                    p, spec, xs, n_enc, initial_state=state.rnn_states[layer]
+                )
+                new_rnn.append(carry)
 
         new_beam = state.beam
         new_transducer = state.transducer
@@ -393,12 +448,19 @@ def build_streaming_fn(task, params, chunk_samples: int,
             ),
             samples_seen=new_total,
             frame_base=jnp.where(active, state.frame_base + fb, state.frame_base),
-            rnn_states=tuple(new_rnn),
+            rnn_states=(state.rnn_states if is_conformer else tuple(new_rnn)),
             prev_id=new_prev,
             beam=new_beam,
             frame_carry=new_carry_f,
             carry_len=new_carry_len,
             transducer=new_transducer,
+            conformer=new_conformer,
+            # the sample before the next buffer's first carried sample
+            preemph_ctx=jnp.where(
+                active[:, None],
+                buf[:, chunk_samples - 1 : chunk_samples],
+                state.preemph_ctx,
+            ),
         )
         return new_state, tokens, tok_len
 

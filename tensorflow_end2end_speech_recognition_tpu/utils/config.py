@@ -142,6 +142,10 @@ class ExperimentConfig:
     # scheme — measured 1.8-2x the step on TPU); "rotary" RoPE (relative
     # semantics at ~the absolute cost — prefer on TPU)
     pos_encoding: str = "absolute"
+    # >= 0 makes conformer/transformer chunk-causal (each frame sees itself
+    # + left_context past frames; causal conv) so the model can STREAM with
+    # a bounded per-layer cache. -1 (default) = full bidirectional.
+    left_context: int = -1
     # decode
     beam_width: int = 1
     length_penalty: float = 0.0
@@ -303,6 +307,7 @@ class ExperimentConfig:
             moe_top_k=self.moe_top_k,
             moe_aux_weight=self.moe_aux_weight,
             pos_encoding=self.pos_encoding,
+            left_context=self.left_context,
         )
 
     def ctc_config(self, num_classes: int, num_classes_sub: int | None = None) -> CTCConfig:

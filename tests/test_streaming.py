@@ -103,7 +103,7 @@ def test_streaming_validation_errors():
         build_streaming_fn(
             base._replace(frontend=FrontendConfig(add_deltas=False)), params, 1600
         )
-    with pytest.raises(ValueError, match="unidirectional"):
+    with pytest.raises(ValueError, match="causal encoder"):
         build_streaming_fn(
             base._replace(
                 model=base.model._replace(
