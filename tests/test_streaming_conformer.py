@@ -199,6 +199,50 @@ def test_streaming_conformer_export_roundtrip(tmp_path):
     assert got == want
 
 
+def test_conformer_transducer_streaming_equals_offline():
+    """The streaming-ASR workhorse: chunk-causal conformer encoder +
+    RNN-Transducer. Chunked greedy (KV/conv caches + carried g/prediction
+    state) must emit exactly the offline transducer decode."""
+    from tensorflow_end2end_speech_recognition_tpu.decoding.transducer_greedy import (
+        transducer_greedy_decode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.models.transducer import (
+        TransducerConfig,
+        encode,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train import transducer_task
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import device_pipeline
+
+    task = transducer_task.TransducerTaskConfig(
+        model=TransducerConfig(
+            encoder=EncoderConfig(
+                encoder_type="conformer", num_units=16, num_layers=2,
+                num_heads=2, conv_kernel_size=5, pos_encoding="rotary",
+                left_context=8,
+            ),
+            num_classes=6, pred_num_units=16, embedding_dim=8, joint_dim=16,
+            max_symbols_per_frame=3,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False, cmvn="none"),
+        num_stack=3, num_skip=3,
+    )
+    params = transducer_task.init_params(jax.random.PRNGKey(0), task)
+    rng = np.random.RandomState(1)
+    b, n = 3, 16000
+    wav = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    wav_len = jnp.asarray([n, 9600, 4640], jnp.int32)
+
+    feats, fl = device_pipeline(task, {"inputs": wav, "input_len": wav_len})
+    out = encode(params, task.model, feats, fl)
+    want_ids, want_len = (
+        np.asarray(x)
+        for x in transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
+    )
+    got = _stream_all(task, params, wav, wav_len, chunk=3200)
+    for i in range(b):
+        assert got[i] == want_ids[i, : want_len[i]].tolist(), f"row {i}"
+
+
 def test_streaming_validation():
     with pytest.raises(ValueError, match="left_context"):
         build_streaming_fn(
