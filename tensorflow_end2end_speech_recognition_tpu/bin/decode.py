@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--joint-rescore", action="store_true")
     ap.add_argument("--length-penalty", type=float, default=0.0)
     ap.add_argument("--num-utts", type=int, default=8)
+    ap.add_argument("--nbest", type=int, default=1,
+                    help="print the top-N beam hypotheses per utterance "
+                         "(beam decodes only; capped at beam width)")
     ap.add_argument("--data", choices=("dev", "test"), default="test")
     ap.add_argument("--lm-dir", default=None, help="RNN-LM dir from bin.train_lm")
     ap.add_argument("--lm-weight", type=float, default=0.3)
@@ -94,9 +97,9 @@ def main(argv=None):
                     fusion_lm=t_fusion,
                     lm_weight=args.lm_weight if t_fusion is not None else 0.0,
                 )
-                return res.tokens[:, 0], res.lengths[:, 0], res.scores[:, 0]
+                return res.tokens, res.lengths, res.scores  # [B, W, ...]
             d, dl = transducer_greedy_decode(params, task.model, out.f_proj, out.enc_len)
-            return d, dl, jnp.zeros((d.shape[0],))
+            return d[:, None], dl[:, None], jnp.zeros((d.shape[0], 1))
 
         hyps, hyp_len, scores = (np.asarray(x) for x in run(params, jb))
     elif is_att:
@@ -120,9 +123,9 @@ def main(argv=None):
             result = joint_rescore(
                 result, cfg.ctc_loss_weight, cfg.num_classes, args.length_penalty
             )
-        hyps = np.asarray(result.tokens[:, 0])
-        hyp_len = np.asarray(result.lengths[:, 0])
-        scores = np.asarray(result.scores[:, 0])
+        hyps = np.asarray(result.tokens)  # [B, W, L]
+        hyp_len = np.asarray(result.lengths)
+        scores = np.asarray(result.scores)
     else:
         if lm_params is not None and args.beam_width <= 1:
             print("WARNING: --lm-dir has no effect on greedy decode "
@@ -149,22 +152,25 @@ def main(argv=None):
                     fusion_lm=lm_fusion,
                     lm_weight=args.lm_weight if lm_fusion is not None else 0.0,
                 )
-                return p[:, 0], l[:, 0], s[:, 0]
+                return p, l, s  # [B, W, ...]
             d, dl = ctc_greedy_decode(out.logits, out.logit_len, task.model.blank_id)
-            return d, dl, jnp.zeros((d.shape[0],))
+            return d[:, None], dl[:, None], jnp.zeros((d.shape[0], 1))
 
         hyps, hyp_len, scores = (np.asarray(x) for x in run(params, jb))
 
     print(f"# model {exp.model_type}/{exp.encoder_type} epoch {epoch} "
           f"beam {args.beam_width}{' +joint-rescore' if args.joint_rescore else ''}")
+    n_best = max(1, min(args.nbest, hyps.shape[1]))
     for i, name in enumerate(batch["names"]):
         if name is None:
             continue
         ref = " ".join(tokenizer.decode([j for j in batch["labels"][i] if j >= 0]))
-        hyp = " ".join(tokenizer.decode(hyps[i][: hyp_len[i]]))
-        print(f"[{name}] score {scores[i]:.2f}")
+        print(f"[{name}] score {scores[i, 0]:.2f}")
         print(f"  REF: {ref}")
-        print(f"  HYP: {hyp}")
+        for r in range(n_best):
+            hyp = " ".join(tokenizer.decode(hyps[i, r][: hyp_len[i, r]]))
+            tag = "HYP" if r == 0 else f"HYP{r + 1} (score {scores[i, r]:.2f})"
+            print(f"  {tag}: {hyp}")
 
 
 if __name__ == "__main__":

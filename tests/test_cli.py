@@ -34,9 +34,11 @@ def test_cli_train_eval_decode_plot(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "dev (epoch" in out and "test (epoch" in out and "S " in out
 
-    decode.main([str(mdir), "--beam-width", "2", "--num-utts", "2"])
+    decode.main([str(mdir), "--beam-width", "2", "--num-utts", "2",
+                 "--nbest", "2"])
     out = capsys.readouterr().out
     assert "REF:" in out and "HYP:" in out
+    assert "HYP2 (score " in out  # n-best printing of the full beam
 
     plot.main([str(mdir)])
     out = capsys.readouterr().out
