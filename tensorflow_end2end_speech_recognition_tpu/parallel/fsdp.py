@@ -24,6 +24,14 @@ On this toolchain the partitioner realizes the gradient path as all-reduce
 memory-equivalent at rest, marginally more ICI bytes in backward. Noted in
 BASELINE.md; re-probe when the toolchain updates.
 
+Because ZeRO-3 is placement-only it COMPOSES with the other placement-only
+axes on a 2-D mesh: ``fsdp: true`` + ``num_model_shards`` shards each
+Megatron-parallel weight's remaining free axis over ``data`` (2-D weight
+sharding, the standard ZeRO+Megatron production recipe); + ``num_sequence_
+shards``/``num_expert_shards`` analogously. Pipeline parallelism is the
+exception — its stage weights live inside ``shard_map`` where GSPMD
+propagation does not reach, so fsdp+pp is rejected in ``fit()``.
+
 Reference parity note: the reference is single-device (SURVEY.md §2.10);
 this module is part of the rebuild's pod-scale extension.
 """
@@ -40,42 +48,71 @@ from .tp import opt_state_shardings
 DATA_AXIS = "data"
 
 
-def fsdp_spec_for(leaf, num_shards: int, axis_name: str = DATA_AXIS) -> P:
+def fsdp_spec_for(leaf, num_shards: int, axis_name: str = DATA_AXIS,
+                  base: P | None = None) -> P:
     """Shard the largest axis divisible by ``num_shards``; replicate if none.
 
     Largest-axis (not axis-0) keeps bytes/chip balanced for the projection
     matrices whose first axis is an input dim ([D_in, 4H] LSTM weights,
     [d, ff] FFs) while still sharding biases/vectors when divisible.
+
+    ``base`` composes ZeRO-3 with another placement-only sharding axis
+    (tp's Megatron specs, ep's stacked expert banks): the ``data`` axis
+    fills the largest still-FREE axis of the base spec, yielding 2-D weight
+    sharding — e.g. a column-parallel ``[d, 4d]`` FF at ``P(None, "model")``
+    becomes ``P("data", "model")``. Axes the base already names are never
+    touched; if no free axis divides, the base spec is returned unchanged.
     """
     shape = np.shape(leaf)
+    entries = list(base) if base is not None else []
+    entries += [None] * (len(shape) - len(entries))
     best = -1
     best_size = 0
     for i, s in enumerate(shape):
-        if s % num_shards == 0 and s >= num_shards and s > best_size:
+        if entries[i] is None and s % num_shards == 0 and s >= num_shards \
+                and s > best_size:
             best, best_size = i, s
     if best < 0:
-        return P()
-    return P(*([None] * best + [axis_name]))
+        return base if base is not None else P()
+    entries[best] = axis_name
+    while entries and entries[-1] is None:  # P('data', None) != P('data')
+        entries.pop()
+    return P(*entries)
 
 
-def fsdp_partition_specs(params, num_shards: int):
-    """Tree of ``PartitionSpec``s matching ``params``' structure."""
-    return jax.tree.map(lambda leaf: fsdp_spec_for(leaf, num_shards), params)
+def fsdp_partition_specs(params, num_shards: int, base_specs=None):
+    """Tree of ``PartitionSpec``s matching ``params``' structure.
+
+    With ``base_specs`` (a same-structure tree of specs from another
+    placement-only axis — tp/ep), the ``data`` axis composes into each
+    leaf's largest free axis instead of starting from replication.
+    """
+    if base_specs is None:
+        return jax.tree.map(lambda leaf: fsdp_spec_for(leaf, num_shards), params)
+    return jax.tree.map(
+        lambda b, leaf: fsdp_spec_for(leaf, num_shards, base=b),
+        base_specs, params, is_leaf=lambda x: isinstance(x, P),
+    )
 
 
-def setup_fsdp(mesh: Mesh, params, opt_state=None, batch=None):
-    """Place training state fully sharded over a 1-D ``data`` mesh.
+def setup_fsdp(mesh: Mesh, params, opt_state=None, batch=None, base_specs=None):
+    """Place training state fully sharded over the mesh's ``data`` axis.
 
     Params and optimizer moments shard per ``fsdp_partition_specs``;
     batches shard on their leading axis exactly as plain DP. The ordinary
     jitted train step then runs FSDP: weight all-gathers in forward,
     transposed reductions in backward, updated state staying sharded
     through donation.
+
+    ``mesh`` may be 1-D (plain ZeRO-3) or 2-D (composed with tp/sp/ep —
+    pass the companion axis's param specs as ``base_specs``; sp replicates
+    weights so its base is None and only the mesh differs). Sharding degree
+    is the ``data`` axis extent, not the device count.
     """
     from .mesh import shard_batch
 
-    n = mesh.devices.size
-    specs = fsdp_partition_specs(params, n)
+    n = mesh.shape[DATA_AXIS]
+    specs = fsdp_partition_specs(params, n, base_specs)
     shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s), specs,
         is_leaf=lambda x: isinstance(x, P),

@@ -117,13 +117,22 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     return loss, aux
 
 
-def make_train_step(task: AttTaskConfig, optimizer):
+def make_train_step(task: AttTaskConfig, optimizer, grad_accum: int = 1):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, lr, rng, step):
-        (loss, aux), grads = jax.value_and_grad(
-            lambda p: forward_loss(p, task, batch, train=True, rng=rng, step=step),
-            has_aux=True,
-        )(params)
+        if grad_accum > 1:
+            from .accum import accum_value_and_grad
+
+            (loss, aux), grads = accum_value_and_grad(
+                lambda p, mb, r: forward_loss(p, task, mb, train=True,
+                                              rng=r, step=step),
+                params, batch, rng, grad_accum,
+            )
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: forward_loss(p, task, batch, train=True, rng=rng, step=step),
+                has_aux=True,
+            )(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = apply_updates(params, updates, lr)
         # also reject clamped impossible-alignment losses (~1e30): they are

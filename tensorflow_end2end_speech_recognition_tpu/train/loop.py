@@ -303,7 +303,13 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
 
     opt = build_optimizer(exp.optimizer, exp.clip_grad_norm)
     opt_state = opt.init(params)
-    train_step = task_mod.make_train_step(task, opt)
+    if exp.batch_size % exp.grad_accum_steps:
+        raise ValueError(
+            f"batch_size {exp.batch_size} not divisible by "
+            f"grad_accum_steps {exp.grad_accum_steps}"
+        )
+    train_step = task_mod.make_train_step(task, opt,
+                                          grad_accum=exp.grad_accum_steps)
     eval_step = task_mod.make_eval_step(task)
     controller = LRController(
         exp.learning_rate, exp.decay_start_epoch, exp.decay_rate, exp.decay_patient_epoch
@@ -335,13 +341,17 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             "num_expert_shards are mutually exclusive; pick one "
             "model-sharding axis"
         )
-    if exp.fsdp and any(x > 1 for x in (tp, pp, sp, ep)):
+    if exp.fsdp and pp > 1:
         raise ValueError(
-            "fsdp shards the 1-D data mesh and cannot combine with the "
-            "tp/pp/sp/ep axes"
+            "fsdp cannot combine with pipeline parallelism (stage weights "
+            "live inside shard_map, outside GSPMD placement); tp/sp/ep "
+            "compose fine"
         )
-    if exp.fsdp and not (exp.num_devices and exp.num_devices > 1):
-        raise ValueError("fsdp needs num_devices > 1 (a data mesh to shard over)")
+    if exp.fsdp and not (exp.num_devices and exp.num_devices > max(tp, sp, ep)):
+        raise ValueError(
+            "fsdp needs a data-parallel degree > 1 (num_devices, divided by "
+            "any tp/sp/ep shards, must leave a data axis to shard over)"
+        )
     if ep > 1:
         from ..parallel.ep import make_mesh_dp_ep
 
@@ -357,8 +367,9 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
                 f"data-parallel degree {dp} (num_devices/num_expert_shards)"
             )
         mesh = make_mesh_dp_ep(dp, ep)
-        print_fn(f"mesh: {dp}-way data x {ep}-shard expert parallel "
-                 f"({jax.process_count()} process(es))")
+        print_fn(f"mesh: {dp}-way data x {ep}-shard expert parallel"
+                 + (" (fsdp: params+moments sharded)" if exp.fsdp else "")
+                 + f" ({jax.process_count()} process(es))")
     elif sp > 1:
         from ..parallel.sp import make_mesh_dp_sp
 
@@ -374,8 +385,9 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
                 f"data-parallel degree {dp} (num_devices/num_sequence_shards)"
             )
         mesh = make_mesh_dp_sp(dp, sp)
-        print_fn(f"mesh: {dp}-way data x {sp}-shard sequence parallel "
-                 f"({jax.process_count()} process(es))")
+        print_fn(f"mesh: {dp}-way data x {sp}-shard sequence parallel"
+                 + (" (fsdp: params+moments sharded)" if exp.fsdp else "")
+                 + f" ({jax.process_count()} process(es))")
     elif pp > 1:
         from ..parallel import make_mesh_dp_pp
 
@@ -455,21 +467,48 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             opt_state = pp_stack_tree(opt_state, pp)
             params, opt_state, _ = setup_pipeline_parallel(mesh, params, opt_state)
         elif tp > 1:
-            from ..parallel import setup_tensor_parallel
+            if exp.fsdp:
+                # ZeRO-3 x Megatron: the data axis fills each tp-parallel
+                # weight's free axis (2-D sharding); replicated leaves
+                # shard plain-fsdp style (parallel/fsdp.py)
+                from ..parallel.fsdp import setup_fsdp
+                from ..parallel.tp import param_partition_specs
 
-            params, opt_state, _ = setup_tensor_parallel(mesh, params, opt_state)
+                params, opt_state, _ = setup_fsdp(
+                    mesh, params, opt_state,
+                    base_specs=param_partition_specs(params))
+            else:
+                from ..parallel import setup_tensor_parallel
+
+                params, opt_state, _ = setup_tensor_parallel(mesh, params, opt_state)
         elif sp > 1:
             # weights replicate over (data, seq); the encoder's activation
             # constraints (parallel/sp.py seq_shard_fn) shard time on entry
-            from ..parallel.sp import setup_sequence_parallel
+            if exp.fsdp:
+                # sp shards activations, not weights — its weight base is
+                # replication, so ZeRO-3 shards over data exactly as on a
+                # 1-D mesh (the 2-D mesh only changes the data-axis extent)
+                from ..parallel.fsdp import setup_fsdp
 
-            params, opt_state, _ = setup_sequence_parallel(mesh, params, opt_state)
+                params, opt_state, _ = setup_fsdp(mesh, params, opt_state)
+            else:
+                from ..parallel.sp import setup_sequence_parallel
+
+                params, opt_state, _ = setup_sequence_parallel(mesh, params, opt_state)
         elif ep > 1:
             # stacked expert banks shard over (data, expert) on their
             # leading E axis; everything else replicates (parallel/ep.py)
-            from ..parallel.ep import setup_expert_parallel
+            if exp.fsdp:
+                from ..parallel.ep import expert_partition_specs
+                from ..parallel.fsdp import setup_fsdp
 
-            params, opt_state, _ = setup_expert_parallel(mesh, params, opt_state)
+                params, opt_state, _ = setup_fsdp(
+                    mesh, params, opt_state,
+                    base_specs=expert_partition_specs(params))
+            else:
+                from ..parallel.ep import setup_expert_parallel
+
+                params, opt_state, _ = setup_expert_parallel(mesh, params, opt_state)
         elif exp.fsdp:
             # ZeRO-3: params + moments sharded over the data mesh at rest;
             # XLA all-gathers weights per use (parallel/fsdp.py)

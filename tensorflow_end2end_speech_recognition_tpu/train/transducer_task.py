@@ -81,12 +81,20 @@ def forward_loss(params, task: TransducerTaskConfig, batch, train: bool, rng=Non
     return loss, aux
 
 
-def make_train_step(task: TransducerTaskConfig, optimizer):
+def make_train_step(task: TransducerTaskConfig, optimizer, grad_accum: int = 1):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, lr, rng):
-        (loss, aux), grads = jax.value_and_grad(
-            lambda p: forward_loss(p, task, batch, train=True, rng=rng), has_aux=True
-        )(params)
+        if grad_accum > 1:
+            from .accum import accum_value_and_grad
+
+            (loss, aux), grads = accum_value_and_grad(
+                lambda p, mb, r: forward_loss(p, task, mb, train=True, rng=r),
+                params, batch, rng, grad_accum,
+            )
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: forward_loss(p, task, batch, train=True, rng=rng), has_aux=True
+            )(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = apply_updates(params, updates, lr)
         # NaN guard + clamped-impossible-lattice guard (as ctc_task)

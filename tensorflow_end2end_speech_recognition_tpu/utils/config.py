@@ -96,6 +96,11 @@ class ExperimentConfig:
     decay_rate: float = 0.9
     decay_patient_epoch: int = 1
     warmup_steps: int = 0  # linear LR warmup (transformer-style encoders)
+    # gradient accumulation (train/accum.py): split each batch into A
+    # microbatches inside the jitted step (lax.scan of grads, ONE update) —
+    # activation memory at batch_size/A with full-batch update math. For
+    # effective batches larger than HBM allows; composes with every mesh.
+    grad_accum_steps: int = 1
     clip_grad_norm: float = 5.0
     weight_decay: float = 0.0
     sort_utt: bool = True
@@ -131,11 +136,13 @@ class ExperimentConfig:
     moe_top_k: int = 2
     moe_aux_weight: float = 1e-2
     num_expert_shards: int | None = None
-    # fully-sharded data parallelism (ZeRO-3, parallel/fsdp.py): with
-    # num_devices > 1, shard parameters AND optimizer moments across the
-    # same 1-D data mesh instead of replicating them (weight all-gathers
-    # inserted by XLA per use) — 1/N at-rest state per chip, identical
-    # numerics. Mutually exclusive with the tp/pp/sp/ep axes.
+    # fully-sharded data parallelism (ZeRO-3, parallel/fsdp.py): with a
+    # data-parallel degree > 1, shard parameters AND optimizer moments
+    # across the data mesh axis instead of replicating them (weight
+    # all-gathers inserted by XLA per use) — 1/N at-rest state per chip,
+    # identical numerics. Composes with num_model_shards (ZeRO+Megatron
+    # 2-D weight sharding), num_sequence_shards and num_expert_shards;
+    # only pipeline stages (shard_map-resident weights) are exclusive.
     fsdp: bool = False
     # conformer/transformer position scheme: "absolute" sinusoids at stack
     # entry; "relative" Transformer-XL rel-pos MHSA (the Conformer paper's

@@ -148,9 +148,12 @@ def test_fit_rejects_fsdp_combinations(tmp_path):
     base = dict(model_type="ctc", label_type="phone61", encoder_type="conformer",
                 num_units=16, num_layers=1, num_heads=2, batch_size=8,
                 num_epoch=1, toy_num_utts=8, use_delta=False, use_energy=False)
+    # pipeline weights live inside shard_map, outside GSPMD placement;
+    # tp/sp/ep compose (tests/test_fsdp_composite.py)
     with pytest.raises(ValueError, match="cannot combine"):
-        fit(ExperimentConfig(num_devices=8, fsdp=True, num_model_shards=2, **base),
+        fit(ExperimentConfig(num_devices=8, fsdp=True, num_pipeline_stages=2,
+                             **{**base, "num_layers": 2}),
             str(tmp_path / "a"), print_fn=lambda *a: None)
-    with pytest.raises(ValueError, match="num_devices"):
+    with pytest.raises(ValueError, match="data-parallel degree"):
         fit(ExperimentConfig(fsdp=True, **base),
             str(tmp_path / "b"), print_fn=lambda *a: None)
