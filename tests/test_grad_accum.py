@@ -67,6 +67,28 @@ def test_ctc_accum_matches_full_batch():
                         params, opt, _batch())
 
 
+def test_ctc_accum_matches_full_batch_weighted_rows():
+    """Fill-padded short batches (weight=0 rows) must still reproduce the
+    full-batch WEIGHTED mean: with strided microbatches the fill rows land
+    unevenly (here microbatch 0 holds two real rows, the rest one each),
+    so uniform microbatch averaging would bias the gradient — the
+    accumulator must carry weighted sums."""
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="blstm", num_units=16, num_layers=2),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    batch = dict(_batch())
+    batch["weight"] = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), task)
+    opt = build_optimizer("sgd")
+    _assert_steps_equal(make_train_step(task, opt),
+                        make_train_step(task, opt, grad_accum=4),
+                        params, opt, batch)
+
+
 def test_attention_accum_matches_full_batch():
     task = att_task.AttTaskConfig(
         model=Seq2SeqConfig(
