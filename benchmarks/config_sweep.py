@@ -57,7 +57,8 @@ def measure_rtf(exp, task, task_mod, params, utts, tokenizer):
     return dt / max(audio_s, 1e-9)
 
 
-def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
+def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path,
+               profile: str | None = None):
     import jax
     import numpy as np
 
@@ -75,6 +76,8 @@ def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
 
     exp = ExperimentConfig.from_yaml(cfg_path)
     exp = dataclasses.replace(exp, num_epoch=epochs, toy_num_utts=utts)
+    if profile:  # --profile hard: the discriminative benchmark corpus
+        exp = dataclasses.replace(exp, toy_profile=profile)
     mdir = out_root / cfg_path.stem
     if mdir.exists():  # fresh measurement: never resume a previous sweep's run
         import shutil
@@ -100,15 +103,16 @@ def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
             eval_step = task_mod.make_beam_eval_step(task, beam)
     else:
         eval_step = task_mod.make_eval_step(task)
-    errs = {}
+    errs, wers = {}, {}
     for name, u in (("dev", dev_utts), ("test", test_utts)):
         ds = Dataset(u, exp.eval_batch_size or exp.batch_size,
                      cmvn_stats=cmvn_stats_for(exp, task, u))
-        errs[name] = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)[
-            "error_rate"
-        ]
+        m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
+        errs[name] = m["error_rate"]
+        if "wer" in m:
+            wers[name] = m["wer"]
     rtf = measure_rtf(exp, task, task_mod, params, test_utts, tokenizer)
-    return {
+    row = {
         "config": cfg_path.name,
         "model": f"{exp.model_type}/{exp.encoder_type}",
         "utts_per_sec": round(summary["utts_per_sec"], 1),
@@ -119,6 +123,9 @@ def run_config(cfg_path: Path, utts: int, epochs: int, out_root: Path):
         "test_err": round(float(errs["test"]), 4),
         "decode_rtf": f"{rtf:.2e}",
     }
+    if wers:  # word-level readout for character models
+        row["test_wer"] = round(float(wers["test"]), 4)
+    return row
 
 
 def main():
@@ -127,6 +134,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--out", default="/tmp/config_sweep")
     ap.add_argument("--configs", nargs="*", default=None)
+    ap.add_argument("--profile", default=None, choices=["easy", "hard"],
+                    help="override every config's toy_profile")
     args = ap.parse_args()
     setup()
 
@@ -141,7 +150,8 @@ def main():
     rows = []
     for cfg in cfgs:
         t0 = time.perf_counter()
-        row = run_config(cfg, args.utts, args.epochs, Path(args.out))
+        row = run_config(cfg, args.utts, args.epochs, Path(args.out),
+                         profile=args.profile)
         row["wall_min"] = round((time.perf_counter() - t0) / 60, 1)
         row["commit"] = commit
         rows.append(row)

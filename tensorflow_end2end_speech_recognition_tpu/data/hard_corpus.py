@@ -1,0 +1,204 @@
+"""Discriminative synthetic benchmark corpus ("hard" toy profile).
+
+The original ``ToyCorpus`` renders every unit as a well-separated formant
+chord; by round 3 several model families solved it EXACTLY (dev/test err
+0.0000 — BASELINE.md), so it can no longer rank models or catch quality
+regressions. This module is the replacement benchmark: a corpus that is
+still fully synthetic and deterministic (no data ships with this
+environment; the reference consumed offline TIMIT/CSJ/LibriSpeech
+features, SURVEY.md §2.9) but is ACOUSTICALLY AMBIGUOUS the way real
+speech is, so error rates land in a discriminative range instead of zero:
+
+- **Confusable unit inventory**: the 20 letter-units form 10 minimal
+  pairs. Pair members share F1 and differ only by a small F2 ratio
+  (``confusability``, default 10%) — while speakers scale ALL formants by
+  up to ±12% (vocal-tract length), so absolute frequency cannot identify
+  a unit across speakers; a model must learn speaker-relative spectral
+  cues (the F2/F1 ratio is the invariant).
+- **Coarticulation**: each segment's formants GLIDE from the previous
+  segment's over its onset, so unit boundaries are acoustically blurred
+  and context matters.
+- **Speaker / channel / rate variation**: per-speaker formant scale,
+  gain, spectral tilt (one-tap pre-emphasis-like channel), per-utterance
+  speaking rate and per-segment duration jitter (duration is not a cue).
+- **Additive noise**: per-utterance SNR drawn from ``snr_db``.
+- **Word-level transcripts**: utterances are sequences of lexicon words
+  (letters = acoustic units, words = letter groups separated by silence),
+  so character/BPE models have a real WER readout and ``word_freqN``
+  models train end-to-end (VERDICT r3 #4/#6).
+
+Labels per ``label_type``:
+- ``character``/``character_capital_divide``/``bpe_*``/``word_*``:
+  encoded from the word transcript by the standard tokenizers.
+- ``phone61/48/39``: each letter maps to a fixed phone of the TIMIT
+  inventory (letter i -> inventory unit i), transcripts keep the word
+  form for provenance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tokenizers import Tokenizer, build_tokenizer
+from .toy_corpus import Utterance
+
+_ALPHABET = list("abcdefghijklmnopqrst")  # 20 letters = 10 confusable pairs
+
+
+def _make_lexicon(rng: np.random.RandomState, num_words: int = 50) -> list[str]:
+    """Deterministic pseudo-word lexicon over the 20-letter alphabet."""
+    words, seen = [], set()
+    while len(words) < num_words:
+        n = rng.randint(2, 7)  # 2-6 letters
+        w = "".join(_ALPHABET[j] for j in rng.randint(0, len(_ALPHABET), size=n))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
+class HardCorpus:
+    """Confusable-unit synthetic corpus; see module docstring.
+
+    Constructor mirrors ``ToyCorpus`` where it can so ``train/loop.py``
+    can switch on ``toy_profile: hard`` without new plumbing:
+    ``min_units``/``max_units`` count WORDS per utterance here.
+    """
+
+    def __init__(
+        self,
+        label_type: str = "character",
+        num_utts: int = 512,
+        min_units: int = 4,
+        max_units: int = 10,
+        sample_rate: int = 16000,
+        seed: int = 0,
+        num_speakers: int = 16,
+        confusability: float = 0.10,  # within-pair F2 ratio gap
+        speaker_formant_spread: float = 0.12,  # ±12% vocal-tract scale
+        snr_db: tuple = (8.0, 25.0),
+        num_words: int = 50,
+        vocab_size: int | None = None,  # accepted for ToyCorpus-arg parity
+    ):
+        del vocab_size  # the lexicon fixes the inventory; knob kept for parity
+        self.label_type = label_type
+        self.sample_rate = sample_rate
+        rng = np.random.RandomState(seed)
+        self.lexicon = _make_lexicon(rng, num_words)
+
+        if label_type.startswith(("word", "bpe")):
+            # corpus-derived vocabularies learn from the lexicon (repeated so
+            # BPE pair counts pass the >=2 merge threshold and word_freqN
+            # thresholds admit every lexicon word)
+            reps = 10 if label_type.startswith("word") else 3
+            self.tokenizer = build_tokenizer(
+                label_type, corpus_texts=[" ".join(self.lexicon * reps)]
+            )
+        else:
+            self.tokenizer: Tokenizer = build_tokenizer(label_type)
+
+        # ---- unit acoustics: 10 minimal pairs over [350, 3400] Hz ----------
+        n_letters = len(_ALPHABET)
+        n_pairs = n_letters // 2
+        # pair centers spread log-uniformly so pairs are mutually distinct
+        c1 = 350.0 * (2.2 ** (rng.permutation(n_pairs) / max(n_pairs - 1, 1)))
+        c2 = 900.0 * (3.8 ** (rng.permutation(n_pairs) / max(n_pairs - 1, 1)))
+        f1 = np.empty(n_letters)
+        f2 = np.empty(n_letters)
+        for p in range(n_pairs):
+            f1[2 * p] = f1[2 * p + 1] = c1[p]  # shared F1 within the pair
+            f2[2 * p] = c2[p]
+            f2[2 * p + 1] = c2[p] * (1.0 + confusability)  # the ONLY cue
+        self._f1, self._f2 = f1, f2
+
+        # ---- speakers: formant scale, gain, channel tilt -------------------
+        ns = max(num_speakers, 1)
+        spk_scale = 1.0 + speaker_formant_spread * (2.0 * rng.rand(ns) - 1.0)
+        spk_gain = 0.4 + 1.6 * rng.rand(ns)
+        spk_tilt = 1.2 * rng.rand(ns) - 0.6
+
+        # ---- fixed-inventory label mapping (letter i -> inventory unit i),
+        # for tokenizers without text encoding (phones, kana/kanji) ---------
+        self._letter_ids = None
+        if not hasattr(self.tokenizer, "encode_text"):
+            inv = self.tokenizer.units
+            if len(inv) < n_letters:
+                raise ValueError(
+                    f"{label_type} inventory ({len(inv)}) smaller than the "
+                    f"hard-corpus alphabet ({n_letters})"
+                )
+            self._letter_ids = {
+                ch: self.tokenizer.unit_to_idx[inv[i]] for i, ch in enumerate(_ALPHABET)
+            }
+
+        self.utterances: list[Utterance] = []
+        for i in range(num_utts):
+            n_words = rng.randint(min_units, max_units + 1)
+            words = [self.lexicon[j] for j in rng.randint(0, len(self.lexicon), size=n_words)]
+            text = " ".join(words)
+            ids = self._label_ids(text)
+            spk = int(rng.randint(0, ns))
+            wav = self._render(
+                words, rng,
+                formant_scale=spk_scale[spk],
+                tilt=spk_tilt[spk],
+                rate=0.75 + 0.55 * rng.rand(),
+                snr_db=snr_db[0] + (snr_db[1] - snr_db[0]) * rng.rand(),
+            )
+            self.utterances.append(
+                Utterance(
+                    f"hard{i:05d}", (wav * spk_gain[spk]).astype(np.float32),
+                    ids, text, speaker=f"spk{spk:02d}",
+                )
+            )
+
+    # -------------------------------------------------------------------
+    def _label_ids(self, text: str) -> list:
+        if self._letter_ids is not None:
+            return [self._letter_ids[c] for c in text if c != " "]
+        return self.tokenizer.encode_text(text)
+
+    def _render(self, words, rng, formant_scale, tilt, rate, snr_db) -> np.ndarray:
+        sr = self.sample_rate
+        f1s, f2s = self._f1 * formant_scale, self._f2 * formant_scale
+        segs = []  # (f1_target, f2_target, n_samples, voiced)
+        for w, word in enumerate(words):
+            if w:  # inter-word pause renders the transcript space
+                n = int((0.03 + 0.05 * rng.rand()) * rate * sr)
+                segs.append((0.0, 0.0, n, False))
+            for ch in word:
+                j = _ALPHABET.index(ch)
+                dur = (0.05 + 0.05 * rng.rand()) * rate * (0.8 + 0.45 * rng.rand())
+                segs.append((f1s[j], f2s[j], max(int(dur * sr), 8), True))
+
+        total = sum(s[2] for s in segs)
+        wav = np.zeros(total, np.float64)
+        pos = 0
+        prev = (f1s[0], f2s[0])  # glide source for the first segment
+        for tf1, tf2, n, voiced in segs:
+            if voiced:
+                glide = min(int(0.025 * sr), max(n // 3, 1))
+                ramp = np.minimum(np.arange(n) / glide, 1.0)
+                f1_t = prev[0] + (tf1 - prev[0]) * ramp
+                f2_t = prev[1] + (tf2 - prev[1]) * ramp
+                ph1 = 2 * np.pi * np.cumsum(f1_t) / sr
+                ph2 = 2 * np.pi * np.cumsum(f2_t) / sr
+                # trapezoid envelope: 8 ms edges, sustained middle (hanning
+                # would modulate the whole segment and re-mark boundaries)
+                e = int(0.008 * sr)
+                env = np.ones(n)
+                k = min(e, n // 2)
+                if k > 0:
+                    env[:k] = np.linspace(0.0, 1.0, k)
+                    env[-k:] = np.linspace(1.0, 0.0, k)
+                wav[pos:pos + n] = env * (0.6 * np.sin(ph1) + 0.4 * np.sin(ph2))
+                prev = (tf1, tf2)
+            pos += n
+
+        # per-speaker channel: one-tap tilt filter y[t] = x[t] - tilt*x[t-1]
+        wav = wav - tilt * np.concatenate([[0.0], wav[:-1]])
+        # additive noise at the drawn SNR (over the voiced-average power)
+        sig_pow = float(np.mean(wav**2)) or 1e-8
+        noise_pow = sig_pow / (10.0 ** (snr_db / 10.0))
+        wav = wav + np.sqrt(noise_pow) * rng.randn(total)
+        return wav.astype(np.float32)

@@ -102,14 +102,31 @@ def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test"),
         dev = load("dev", dev_name)
         test = load("test", test_name)
     else:
-        corpus = ToyCorpus(
-            label_type=exp.label_type,
-            num_utts=exp.toy_num_utts,
-            min_units=exp.toy_min_units,
-            max_units=exp.toy_max_units,
-            vocab_size=exp.toy_vocab_size,
-            seed=exp.toy_seed,
-        )
+        if exp.toy_profile == "hard":
+            # the discriminative benchmark corpus (data/hard_corpus.py):
+            # confusable units + speaker/channel/noise variation, word
+            # transcripts; min/max units count WORDS here
+            from ..data.hard_corpus import HardCorpus
+
+            corpus = HardCorpus(
+                label_type=exp.label_type,
+                num_utts=exp.toy_num_utts,
+                min_units=exp.toy_min_units,
+                max_units=exp.toy_max_units,
+                vocab_size=exp.toy_vocab_size,
+                seed=exp.toy_seed,
+            )
+        elif exp.toy_profile != "easy":
+            raise ValueError(f"unknown toy_profile {exp.toy_profile!r}")
+        else:
+            corpus = ToyCorpus(
+                label_type=exp.label_type,
+                num_utts=exp.toy_num_utts,
+                min_units=exp.toy_min_units,
+                max_units=exp.toy_max_units,
+                vocab_size=exp.toy_vocab_size,
+                seed=exp.toy_seed,
+            )
         utts = corpus.utterances
         n = len(utts)
         n_dev = max(n // 10, 1)
@@ -319,6 +336,12 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     csv_path = model_dir / "metrics.csv"
     with open(csv_path, "w", newline="") as f:
         csv.writer(f).writerow(["epoch", "step", "train_loss", "dev_loss", "dev_error_rate", "lr", "utts_per_sec"])
+    # TensorBoard event stream alongside the CSV (the reference streamed
+    # tf.summary scalars, SURVEY.md §5.5); utils/tb_events.py is the
+    # dependency-free writer (clu.metric_writers costs a 42 s TF import)
+    from ..utils.tb_events import EventWriter
+
+    events = EventWriter(model_dir / "events")
 
     rng = jax.random.PRNGKey(exp.seed + 1)
     lr = controller.lr
@@ -335,11 +358,14 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     pp = exp.num_pipeline_stages or 1
     sp = exp.num_sequence_shards or 1
     ep = exp.num_expert_shards or 1
-    if sum(x > 1 for x in (tp, pp, sp, ep)) > 1:
+    # tp and sp COMPOSE (both placement-only — 3-D data x seq x model mesh);
+    # pipeline stages (shard_map-resident weights) and expert shards (their
+    # own 2-D dispatch mesh) stay exclusive axes
+    if (pp > 1 or ep > 1) and sum(x > 1 for x in (tp, pp, sp, ep)) > 1:
         raise ValueError(
-            "num_model_shards / num_pipeline_stages / num_sequence_shards / "
-            "num_expert_shards are mutually exclusive; pick one "
-            "model-sharding axis"
+            "num_pipeline_stages / num_expert_shards are mutually exclusive "
+            "with every other model-sharding axis; only num_model_shards + "
+            "num_sequence_shards compose"
         )
     if exp.fsdp and pp > 1:
         raise ValueError(
@@ -347,12 +373,35 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             "live inside shard_map, outside GSPMD placement); tp/sp/ep "
             "compose fine"
         )
-    if exp.fsdp and not (exp.num_devices and exp.num_devices > max(tp, sp, ep)):
+    if exp.fsdp and not (exp.num_devices and exp.num_devices > tp * sp * ep):
         raise ValueError(
             "fsdp needs a data-parallel degree > 1 (num_devices, divided by "
             "any tp/sp/ep shards, must leave a data axis to shard over)"
         )
-    if ep > 1:
+    if tp > 1 and sp > 1:
+        # 3-D composition: data x seq x model (VERDICT r3 #3). Weights take
+        # the Megatron specs over the 3-D mesh (placement below), the
+        # encoder's activation constraint shards time over ``seq``.
+        from ..parallel.tp import make_mesh_3d
+
+        total = exp.num_devices or (tp * sp)
+        if total % (tp * sp):
+            raise ValueError(
+                f"num_devices {total} not divisible by num_model_shards x "
+                f"num_sequence_shards = {tp}x{sp}"
+            )
+        dp = total // (tp * sp)
+        if exp.batch_size % dp:
+            raise ValueError(
+                f"batch_size {exp.batch_size} not divisible by "
+                f"data-parallel degree {dp} (num_devices/(tp*sp))"
+            )
+        mesh = make_mesh_3d(dp, sp, tp)
+        print_fn(f"mesh: {dp}-way data x {sp}-shard sequence x {tp}-way "
+                 "tensor parallel"
+                 + (" (fsdp: params+moments sharded)" if exp.fsdp else "")
+                 + f" ({jax.process_count()} process(es))")
+    elif ep > 1:
         from ..parallel.ep import make_mesh_dp_ep
 
         total = exp.num_devices or ep
@@ -545,6 +594,8 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             if step % log_every == 0:
                 losses.append(float(aux["loss"]))
                 print_fn(f"epoch {epoch} step {step} loss {losses[-1]:.4f} lr {eff_lr:.2e}")
+                events.write_scalars(step, {"train/loss": losses[-1],
+                                            "train/lr": eff_lr})
         epoch_time = time.perf_counter() - t0
         dev = evaluate_ctc(
             eval_step, params, dev_ds, tokenizer, exp.label_type, epoch,
@@ -562,6 +613,14 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
         with open(csv_path, "a", newline="") as f:
             # record the lr actually applied this step (warmup-scaled)
             csv.writer(f).writerow([epoch, step, train_loss, dev["loss"], dev["error_rate"], eff_lr, ups])
+        epoch_scalars = {
+            "train/epoch_loss": train_loss, "dev/loss": dev["loss"],
+            "dev/error_rate": dev["error_rate"], "train/utts_per_sec": ups,
+        }
+        if "wer" in dev:
+            epoch_scalars["dev/wer"] = dev["wer"]
+        events.write_scalars(step, epoch_scalars)
+        events.flush()
         if dev["error_rate"] < best_dev:
             best_dev = dev["error_rate"]
         # controller advances first so the checkpointed state already
@@ -593,6 +652,7 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
             "dev_error_rate": dev["error_rate"], "best_dev_error_rate": best_dev,
             "utts_per_sec": ups,
         }
+    events.close()
     with open(model_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     try:  # loss/ler curve PNGs, as the reference wrote into its model dir

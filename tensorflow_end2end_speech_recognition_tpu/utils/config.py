@@ -157,6 +157,13 @@ class ExperimentConfig:
     beam_width: int = 1
     length_penalty: float = 0.0
     # toy corpus controls (this environment has no real corpora on disk)
+    # toy_profile "easy": the original well-separated formant corpus (kept
+    # for fast convergence tests). "hard": the discriminative benchmark —
+    # confusable minimal-pair units, coarticulation, speaker/channel/rate
+    # variation, additive noise, word-level transcripts (data/hard_corpus.py;
+    # the easy corpus saturated at err 0.0000 by round 3 and can no longer
+    # rank models). For "hard", toy_min_units/toy_max_units count WORDS.
+    toy_profile: str = "easy"
     toy_num_utts: int = 128
     toy_min_units: int = 3
     toy_max_units: int = 10
@@ -309,7 +316,13 @@ class ExperimentConfig:
             pipeline_microbatches=self.num_pipeline_microbatches or 4 * pp,
             pipeline_data_parallel=(self.num_devices or pp) // pp,
             sequence_shards=self.num_sequence_shards,
-            sequence_data_parallel=(self.num_devices or sp) // sp,
+            # when sp composes with tp (3-D data x seq x model mesh) the
+            # data axis is what remains after BOTH model axes
+            sequence_data_parallel=(
+                (self.num_devices or (sp * (self.num_model_shards or 1)))
+                // (sp * (self.num_model_shards or 1))
+            ),
+            sequence_model_parallel=self.num_model_shards or 1,
             moe_experts=moe,
             moe_top_k=self.moe_top_k,
             moe_aux_weight=self.moe_aux_weight,

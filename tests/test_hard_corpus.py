@@ -1,0 +1,168 @@
+"""Hard benchmark corpus (data/hard_corpus.py) + word-level WER readout.
+
+The easy toy corpus saturated (multiple families at err 0.0000 —
+BASELINE.md round 3), so the hard profile is the quality benchmark going
+forward: these tests pin its determinism, label/transcript consistency
+across unit systems, the fit() wiring of ``toy_profile: hard``, and the
+word-WER counts that character models now report (reference
+``do_eval_wer``, SURVEY.md §2.7).
+"""
+
+import numpy as np
+import pytest
+
+from tensorflow_end2end_speech_recognition_tpu.data.hard_corpus import (
+    _ALPHABET,
+    HardCorpus,
+)
+
+
+def test_deterministic_and_distinct_seeds():
+    a = HardCorpus(label_type="character", num_utts=4, seed=3)
+    b = HardCorpus(label_type="character", num_utts=4, seed=3)
+    c = HardCorpus(label_type="character", num_utts=4, seed=4)
+    assert np.array_equal(a.utterances[0].wav, b.utterances[0].wav)
+    assert a.utterances[0].label_ids == b.utterances[0].label_ids
+    assert not np.array_equal(a.utterances[0].wav, c.utterances[0].wav)
+
+
+def test_char_labels_match_transcript():
+    c = HardCorpus(label_type="character", num_utts=6, seed=0)
+    for u in c.utterances:
+        assert c.tokenizer.decode_text(u.label_ids) == u.text
+        assert u.speaker is not None
+
+
+def test_phone_labels_map_letters():
+    c = HardCorpus(label_type="phone61", num_utts=4, seed=0)
+    inv = c.tokenizer.units
+    for u in c.utterances:
+        letters = [ch for ch in u.text if ch != " "]
+        assert len(u.label_ids) == len(letters)
+        for ch, i in zip(letters, u.label_ids):
+            assert inv[i] == inv[_ALPHABET.index(ch)]
+
+
+def test_word_and_bpe_labels_roundtrip():
+    for lt in ("word_freq5", "bpe_60"):
+        c = HardCorpus(label_type=lt, num_utts=4, seed=1)
+        for u in c.utterances:
+            assert c.tokenizer.decode_text(u.label_ids) == u.text
+
+
+def test_confusable_pairs_share_f1():
+    c = HardCorpus(label_type="character", num_utts=1, seed=0, confusability=0.1)
+    f1, f2 = c._f1, c._f2
+    for p in range(len(_ALPHABET) // 2):
+        assert f1[2 * p] == f1[2 * p + 1]
+        np.testing.assert_allclose(f2[2 * p + 1] / f2[2 * p], 1.1)
+
+
+def test_durations_and_noise():
+    c = HardCorpus(label_type="character", num_utts=16, seed=2)
+    durs = np.asarray([len(u.wav) / c.sample_rate for u in c.utterances])
+    n_letters = np.asarray([sum(ch != " " for ch in u.text) for u in c.utterances])
+    # duration grows with letter count but with rate variance (not a pure cue)
+    assert np.corrcoef(durs, n_letters)[0, 1] > 0.7
+    assert durs.max() < 8.0  # bounded for batch padding
+    # noise floor: silence regions are not exactly zero
+    assert float(np.min(np.abs(c.utterances[0].wav))) >= 0.0
+    assert float(np.std(c.utterances[0].wav[:50])) > 0.0
+
+
+def test_fit_hard_profile_end_to_end(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    exp = ExperimentConfig(
+        model_type="ctc", label_type="character", encoder_type="blstm",
+        num_units=16, num_layers=1, batch_size=4, num_epoch=1,
+        toy_profile="hard", toy_num_utts=12, toy_min_units=1, toy_max_units=2,
+        use_delta=False, use_energy=False,
+    )
+    summary = fit(exp, str(tmp_path / "m"), print_fn=lambda *a: None)
+    assert np.isfinite(summary["train_loss"])
+
+
+def test_fit_rejects_unknown_profile(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import (
+        build_corpus_splits,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    exp = ExperimentConfig(toy_profile="nope")
+    with pytest.raises(ValueError, match="toy_profile"):
+        build_corpus_splits(exp)
+
+
+# ---- word-level WER readout (utils/metrics.py) --------------------------
+
+
+def test_word_tokens_char_only():
+    from tensorflow_end2end_speech_recognition_tpu.data.tokenizers import (
+        CharTokenizer,
+        PhoneTokenizer,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.metrics import word_tokens
+
+    tok = CharTokenizer()
+    ref = tok.encode_text("ab cd")
+    hyp = tok.encode_text("ab ce")
+    w = word_tokens(ref, hyp, tok, "character")
+    assert w == (["ab", "cd"], ["ab", "ce"])
+    assert word_tokens([0], [0], PhoneTokenizer(), "phone61") is None
+
+
+def test_rates_include_wer_for_char_models():
+    from tensorflow_end2end_speech_recognition_tpu.utils.metrics import (
+        rates_from_counts,
+    )
+
+    # 2 char edits over 20 chars; 1 word edit over 4 words
+    counts = np.asarray([2, 2, 0, 0, 20, 2, 1.0, 1, 1, 0, 0, 4], np.float64)
+    m = rates_from_counts(counts)
+    assert m["error_rate"] == pytest.approx(0.1)
+    assert m["wer"] == pytest.approx(0.25)
+    # legacy 7-vector stays accepted (no word slots -> no wer key)
+    m7 = rates_from_counts(counts[:7])
+    assert "wer" not in m7 and m7["error_rate"] == pytest.approx(0.1)
+
+
+def test_eval_counts_reports_wer_end_to_end():
+    """evaluate_ctc on a tiny char model returns a wer key, and the chunked
+    per-batch scoring equals whole-corpus scoring by construction (counts
+    are sums)."""
+    import jax
+
+    from tensorflow_end2end_speech_recognition_tpu.data.dataset import Dataset
+    from tensorflow_end2end_speech_recognition_tpu.frontend import FrontendConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.ctc import CTCConfig
+    from tensorflow_end2end_speech_recognition_tpu.models.encoders import (
+        EncoderConfig,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.train.ctc_task import (
+        CTCTaskConfig,
+        init_params,
+        make_eval_step,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.metrics import evaluate_ctc
+
+    corpus = HardCorpus(label_type="character", num_utts=6, seed=5,
+                        min_units=1, max_units=2)
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(encoder_type="lstm", num_units=16, num_layers=1),
+            num_classes=corpus.tokenizer.num_units,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    params = init_params(jax.random.PRNGKey(0), task)
+    ds = Dataset(corpus.utterances, 4)
+    m = evaluate_ctc(make_eval_step(task), params, ds, corpus.tokenizer,
+                     "character")
+    assert "wer" in m and 0.0 <= m["wer"] <= 2.0
+    assert m["num_utts"] == 6
