@@ -116,10 +116,11 @@ def main(argv=None):
         )
         m = evaluate_ctc(eval_step, params, ds, tokenizer, exp.label_type)
         del utts, ds  # free this split before the next loads
+        wer = f" wer {m['wer']:.4f}" if "wer" in m else ""
         print(
             f"{name} (epoch {epoch}): error_rate {m['error_rate']:.4f} "
-            f"(S {m['sub_rate']:.4f} / I {m['ins_rate']:.4f} / D {m['del_rate']:.4f}) "
-            f"loss {m['loss']:.4f} [{m['num_utts']} utts]"
+            f"(S {m['sub_rate']:.4f} / I {m['ins_rate']:.4f} / D {m['del_rate']:.4f})"
+            f"{wer} loss {m['loss']:.4f} [{m['num_utts']} utts]"
         )
 
 
