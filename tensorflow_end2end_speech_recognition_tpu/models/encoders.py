@@ -71,6 +71,11 @@ class EncoderConfig(NamedTuple):
     # axis width of the same mesh (total chips = dp * seq shards).
     sequence_shards: int | None = None
     sequence_data_parallel: int = 1
+    # tensor-parallel degree of the SAME mesh when sp composes with tp
+    # (3-D data x seq x model — parallel/tp.py make_mesh_3d); only used to
+    # rebuild the mesh for the activation constraint, the weight specs are
+    # placement-side (train/loop.py)
+    sequence_model_parallel: int = 1
     # Mixture-of-Experts FF (conformer/transformer only): > 1 swaps each
     # block's final FF for a top-k-gated expert bank; stacked expert weights
     # shard over an ``expert`` mesh axis via parallel/ep.py
@@ -353,11 +358,16 @@ def apply_encoder(
 
             from ..parallel.sp import make_mesh_dp_sp, seq_shard_fn
 
-            n_need = max(cfg.sequence_data_parallel, 1) * cfg.sequence_shards
+            dp = max(cfg.sequence_data_parallel, 1)
+            tp = max(cfg.sequence_model_parallel, 1)
+            n_need = dp * cfg.sequence_shards * tp
             if len(_jax.devices()) >= n_need:
-                mesh = make_mesh_dp_sp(
-                    max(cfg.sequence_data_parallel, 1), cfg.sequence_shards
-                )
+                if tp > 1:  # sp composed with tp: 3-D (data, seq, model)
+                    from ..parallel.tp import make_mesh_3d
+
+                    mesh = make_mesh_3d(dp, cfg.sequence_shards, tp)
+                else:
+                    mesh = make_mesh_dp_sp(dp, cfg.sequence_shards)
                 shard_fn = seq_shard_fn(mesh)
 
         moe = bool(cfg.moe_experts and cfg.moe_experts > 1)

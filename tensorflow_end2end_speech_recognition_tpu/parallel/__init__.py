@@ -37,6 +37,7 @@ from .sp import (
 )
 from .tp import (
     make_mesh_2d,
+    make_mesh_3d,
     opt_state_shardings,
     param_partition_specs,
     setup_tensor_parallel,
@@ -68,6 +69,7 @@ __all__ = [
     "global_device_batch",
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_3d",
     "opt_state_shardings",
     "param_partition_specs",
     "process_slice",

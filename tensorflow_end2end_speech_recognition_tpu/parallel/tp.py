@@ -46,6 +46,8 @@ shard over ``data`` only and are replicated along ``model``.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -78,6 +80,31 @@ def make_mesh_2d(num_data: int, num_model: int, devices=None) -> Mesh:
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+@functools.lru_cache(maxsize=None)
+def make_mesh_3d(num_data: int, num_seq: int, num_model: int) -> Mesh:
+    """A ``(data, seq, model)`` mesh composing tensor AND sequence
+    parallelism with data parallelism (VERDICT r3 #3).
+
+    Both tp and sp are placement-only GSPMD axes, so composition is pure
+    spec arithmetic: the Megatron weight specs name only ``model`` and the
+    activation constraint names ``(data, seq)`` — each partitions over its
+    axes and replicates over the others automatically. ``model`` is the
+    minor (fastest-ICI) axis — its per-block all-reduces are the most
+    frequent collective; ``seq`` sits between, so attention gathers ride
+    the next ring. Cached so the train loop and ``apply_encoder`` (tracing
+    inside jit) build the SAME Mesh object.
+    """
+    devices = jax.devices()
+    n = num_data * num_seq * num_model
+    if n > len(devices):
+        raise ValueError(
+            f"requested {num_data}x{num_seq}x{num_model}={n} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.asarray(devices[:n]).reshape(num_data, num_seq, num_model)
+    return Mesh(arr, (DATA_AXIS, "seq", MODEL_AXIS))
+
+
 def _path_keys(path) -> list[str]:
     out = []
     for entry in path:
@@ -92,10 +119,16 @@ def _path_keys(path) -> list[str]:
     return out
 
 
-def _spec_for(path_keys: list[str], leaf) -> P:
-    """Partition spec for one parameter leaf, by its tree path."""
+def _spec_for(path_keys: list[str], leaf, ndim: int | None = None) -> P:
+    """Partition spec for one parameter leaf, by its tree path.
+
+    ``ndim`` overrides the leaf's rank — pipeline composition passes the
+    rank net of the stage-stack's two leading axes (pp.py).
+    """
     # only conformer/transformer blocks are tensor-parallel; everything
     # else (RNN stacks, decoders, heads, norms, conv modules) replicates
+    if ndim is None:
+        ndim = np.ndim(leaf)
     if "conformer" not in path_keys:
         return P()
     if "conv" in path_keys:  # conformer conv module: replicated (see module doc)
@@ -105,12 +138,12 @@ def _spec_for(path_keys: list[str], leaf) -> P:
     name = path_keys[-1]
     parent = path_keys[-2] if len(path_keys) >= 2 else ""
     if parent in _COLUMN_PARALLEL:
-        if name == "w" and np.ndim(leaf) == 2:
+        if name == "w" and ndim == 2:
             return P(None, MODEL_AXIS)
-        if name == "b" and np.ndim(leaf) == 1:
+        if name == "b" and ndim == 1:
             return P(MODEL_AXIS)
     if parent in _ROW_PARALLEL:
-        if name == "w" and np.ndim(leaf) == 2:
+        if name == "w" and ndim == 2:
             return P(MODEL_AXIS, None)
         # row-parallel bias is added after the all-reduce: replicated
     return P()

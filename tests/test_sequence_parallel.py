@@ -138,18 +138,20 @@ def test_fit_sequence_parallel_end_to_end(tmp_path):
     assert summary["epochs"] == 2
 
 
-def test_fit_rejects_two_model_axes(tmp_path):
+def test_fit_rejects_sp_with_expert_shards(tmp_path):
+    """tp+sp COMPOSE since round 4 (tests/test_3d_parallel.py); the expert
+    and pipeline axes remain exclusive with every other model axis."""
     from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
     from tensorflow_end2end_speech_recognition_tpu.utils.config import ExperimentConfig
 
     exp = ExperimentConfig(
         model_type="ctc", label_type="phone61", encoder_type="conformer",
         num_units=16, num_layers=1, num_heads=2, conv_kernel_size=5,
-        batch_size=8, num_epoch=1, toy_num_utts=8,
-        num_devices=8, num_model_shards=2, num_sequence_shards=2,
+        batch_size=8, num_epoch=1, toy_num_utts=8, moe_num_experts=4,
+        num_devices=8, num_expert_shards=2, num_sequence_shards=2,
         use_delta=False, use_energy=False,
     )
-    with pytest.raises(ValueError, match="mutually exclusive"):
+    with pytest.raises(ValueError, match="exclusive"):
         fit(exp, str(tmp_path / "m"), print_fn=lambda *a: None)
 
 
