@@ -165,6 +165,25 @@ def _scale_kt(base: int, t: int, b: int, h: int) -> int:
     return max(1, min(base, (base * _ANCHOR_ROWS) // max(b * h, 1), t))
 
 
+def _common_t_pad(t: int, b: int, h: int, bases: tuple) -> int:
+    """One T padding shared by a layer's forward AND backward kernels.
+
+    Round-4 finding: a full train-step program whose bidi FORWARD pads T
+    (kt=4: 286->288) while its BACKWARD does not (kt=2: 286==286) faults
+    the TPU worker at runtime — 2/2 reproductions at T=286, while the
+    same program at T=288 (both aligned) and T=411/213/145 (both padded)
+    runs clean, and each kernel ALONE is fine at T=286. Mosaic's grids
+    are sound either way per-kernel, so this is a composition-level
+    toolchain fault (the class CLAUDE.md documents); padding both passes
+    to the lcm of their block sizes removes the mixed case everywhere at
+    the cost of at most one extra (masked) block step.
+    """
+    import math
+
+    m = math.lcm(*(_scale_kt(base, t, b, h) for base in bases))
+    return -(-t // m) * m
+
+
 def pallas_fits(b: int, h: int, t: int | None = None) -> bool:
     """True if the layer kernels fit scoped VMEM at these shapes.
 
@@ -196,8 +215,8 @@ def _fwd_call(xproj_tm, wh, mask_tm, forget_bias: float):
     t, b, g4 = xproj_tm.shape
     h = g4 // 4
     kt = _scale_kt(_BLOCK_T, t, b, h)
-    nb = -(-t // kt)
-    t_pad = nb * kt
+    t_pad = _common_t_pad(t, b, h, (_BLOCK_T, _BLOCK_T_BWD))
+    nb = t_pad // kt
     xproj_tm = _pad_t(xproj_tm, t_pad)
     mask_tm = _pad_t(mask_tm, t_pad)  # pad rows are masked: state carries
     kernel = functools.partial(_fwd_kernel, float(forget_bias))
@@ -242,8 +261,8 @@ def _bwd_call(xproj_tm, wh, mask_tm, ys, cs, gys_tm, forget_bias: float):
     t, b, g4 = xproj_tm.shape
     h = g4 // 4
     kt = _scale_kt(_BLOCK_T_BWD, t, b, h)
-    nb = -(-t // kt)
-    t_pad = nb * kt
+    t_pad = _common_t_pad(t, b, h, (_BLOCK_T, _BLOCK_T_BWD))
+    nb = t_pad // kt
     ins = [
         _pad_t(xproj_tm, t_pad),
         wh,
@@ -450,8 +469,8 @@ def _bidi_fwd_call(xf, xb, whf, whb, mask_tm, forget_bias: float):
     t, b, g4 = xf.shape
     h = g4 // 4
     kt = _scale_kt(_BLOCK_T_BIDI, t, b, h)
-    nb = -(-t // kt)
-    t_pad = nb * kt
+    t_pad = _common_t_pad(t, b, h, (_BLOCK_T_BIDI, _BLOCK_T_BIDI_BWD))
+    nb = t_pad // kt
     xf, xb, mask_tm = _pad_t(xf, t_pad), _pad_t(xb, t_pad), _pad_t(mask_tm, t_pad)
     kernel = functools.partial(_bidi_fwd_kernel, float(forget_bias))
     step = lambda i: (i, 0, 0)
@@ -481,8 +500,8 @@ def _bidi_bwd_call(xf, xb, whf, whb, mask_tm, ysf, ysb, csf, csb, gysf, gysb,
     t, b, g4 = xf.shape
     h = g4 // 4
     kt = _scale_kt(_BLOCK_T_BIDI_BWD, t, b, h)
-    nb = -(-t // kt)
-    t_pad = nb * kt
+    t_pad = _common_t_pad(t, b, h, (_BLOCK_T_BIDI, _BLOCK_T_BIDI_BWD))
+    nb = t_pad // kt
     pad = lambda x: _pad_t(x, t_pad)
     ins = [
         pad(xf), pad(xb), whf, whb, pad(mask_tm),
