@@ -64,6 +64,10 @@ class EncoderConfig(NamedTuple):
     pipeline_stages: int | None = None
     pipeline_microbatches: int = 8
     pipeline_data_parallel: int = 1
+    # tensor-parallel degree composed INTO the pipeline (3-D data x pipe x
+    # model mesh; parallel/pp.py partial-manual shard_map — model stays an
+    # AUTO axis so the Megatron weight shardings partition each stage)
+    pipeline_model_parallel: int = 1
     # sequence (context) parallelism (parallel/sp.py; conformer/transformer
     # only): > 1 shards the activation TIME axis over a ``seq`` mesh axis
     # (weights replicate; XLA derives the attention gathers + conv halos
@@ -332,15 +336,26 @@ def apply_encoder(
             # (data, pipe) mesh; everything else (eval/decode CLIs, serving
             # exports, single-chip restores) keeps the per-layer list layout
             # and takes the numerically equal sequential apply below
-            from ..parallel.pp import apply_conformer_pipelined, make_mesh_dp_pp
-
-            mesh = make_mesh_dp_pp(
-                max(cfg.pipeline_data_parallel, 1), cfg.pipeline_stages
+            from ..parallel.pp import (
+                apply_conformer_pipelined,
+                make_mesh_dp_pp,
+                make_mesh_dp_pp_tp,
             )
+
+            tp = max(cfg.pipeline_model_parallel, 1)
+            if tp > 1:  # pp composed with tp: 3-D (data, pipe, model)
+                mesh = make_mesh_dp_pp_tp(
+                    max(cfg.pipeline_data_parallel, 1), cfg.pipeline_stages, tp
+                )
+            else:
+                mesh = make_mesh_dp_pp(
+                    max(cfg.pipeline_data_parallel, 1), cfg.pipeline_stages
+                )
             out = apply_conformer_pipelined(
                 params["conformer"], cfg.conformer_spec(), xs, lengths,
                 mesh, cfg.pipeline_microbatches, train=train, rng=rng,
                 keep_prob=cfg.dropout_keep_prob, data_axis="data",
+                model_axis="model" if tp > 1 else None,
             )
             return EncoderOutput(out, lengths)
 

@@ -58,6 +58,25 @@ def make_mesh_pp(num_stages: int, devices=None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=None)
+def make_mesh_dp_pp_tp(num_data: int, num_stages: int, num_model: int) -> Mesh:
+    """A ``(data, pipe, model)`` mesh composing pipeline AND tensor
+    parallelism (VERDICT r3 #3). ``model`` is minor (fastest ICI: its
+    per-block all-reduces are the most frequent collective), ``pipe``
+    between (one ppermute hop per tick). Cached like the 2-D factory."""
+    import numpy as np
+
+    devices = jax.devices()
+    n = num_data * num_stages * num_model
+    if n > len(devices):
+        raise ValueError(
+            f"requested {num_data}x{num_stages}x{num_model}={n} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.asarray(devices[:n]).reshape(num_data, num_stages, num_model)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS, "model"))
+
+
+@functools.lru_cache(maxsize=None)
 def make_mesh_dp_pp(num_data: int, num_stages: int) -> Mesh:
     """A ``(data, pipe)`` mesh over the first ``num_data*num_stages`` devices.
 
@@ -124,6 +143,9 @@ def pipeline_apply(
     *,
     pipe_axis: str = PIPE_AXIS,
     data_axis: str | None = None,
+    model_axis: str | None = None,  # tp composed into the pipeline: this
+    # mesh axis stays AUTO (GSPMD) inside the shard_map — stage weights
+    # arrive still model-sharded and the block matmuls partition over it
     aux_specs=None,  # PartitionSpec tree for mb_aux leaves whose non-leading
     # axes must not follow the default [M, mb-over-data] layout (e.g.
     # per-microbatch rng keys [M, 2] are replicated: pass P() for that leaf)
@@ -141,25 +163,46 @@ def pipeline_apply(
     ``data_axis`` the ``mb`` rows of both ``x`` and aux shard over it
     (dp x pp in one shard_map). ``x`` is replicated along ``pipe`` — the
     GPipe input stash; the output buffer likewise lives once per stage.
+
+    With ``model_axis`` (dp x pp x tp, VERDICT r3 #3) the shard_map is
+    PARTIALLY manual: ``pipe``/``data`` manual as before, ``model`` left
+    to GSPMD — Megatron-sharded stage weights partition the block matmuls
+    and XLA inserts the per-block all-reduce inside each tick. Stage
+    boundaries constrain activations model-replicated so the ppermute hop
+    carries replicated data. Partial-manual requires ``check_vma=True``
+    (the check_vma=False rematch path re-binds every mesh axis, measured),
+    so the stage/commit logic carries explicit pcast-to-varying marks.
     """
     num_stages = mesh.shape[pipe_axis]
     num_mb = x.shape[0]
+    # pcast annotations are required under check_vma=True (partial-manual)
+    # and harmless no-ops otherwise
+    vma_on = model_axis is not None
+    pv = (lambda z, ax: jax.lax.pcast(z, ax, to="varying")) if vma_on else (lambda z, ax: z)
 
     def run(params, xs, aux):
         params = jax.tree.map(lambda a: a[0], params)  # strip stage-block axis
         stage = jax.lax.axis_index(pipe_axis)
-        act0 = jnp.zeros(xs.shape[1:], xs.dtype)
-        out0 = jnp.zeros_like(xs)
+        act0 = pv(jnp.zeros(xs.shape[1:], xs.dtype),
+                  (pipe_axis,) + ((data_axis,) if data_axis else ()))
+        out0 = pv(jnp.zeros_like(xs), (pipe_axis,))
 
         def tick(carry, t):
             act, out = carry
             inp = jax.lax.dynamic_index_in_dim(
                 xs, jnp.clip(t, 0, num_mb - 1), keepdims=False
             )
-            act = jnp.where(stage == 0, inp, act)
+            act = jnp.where(stage == 0, pv(inp, (pipe_axis,)), act)
             m = t - stage
             aux_m = _dyn(aux, jnp.clip(m, 0, num_mb - 1)) if aux is not None else None
             act = stage_fn(params, act, aux_m, m, stage)
+            if model_axis is not None:
+                # stage boundary: replicate over the auto model axis so the
+                # ppermute hop (and the committed output) carry replicated
+                # activations — intra-stage values stay model-sharded
+                act = jax.lax.with_sharding_constraint(
+                    act, P(*([None] * act.ndim))
+                )
             # the last stage commits microbatch t-(S-1); bubbles are no-ops
             w = jnp.clip(t - (num_stages - 1), 0, num_mb - 1)
             cur = jax.lax.dynamic_index_in_dim(out, w, keepdims=False)
@@ -180,12 +223,16 @@ def pipeline_apply(
     rep = (None, data_axis)  # [M, mb, ...]: mb rows over data, M replicated
     if aux_specs is None:
         aux_specs = jax.tree.map(lambda _: P(*rep), mb_aux)
+    manual = {pipe_axis} | ({data_axis} if data_axis else set())
     out = jax.shard_map(
         run,
         mesh=mesh,
         in_specs=(P(pipe_axis), P(*rep), aux_specs),
         out_specs=P(pipe_axis, None, data_axis),
-        check_vma=False,  # stage-varying where/commit logic is intentional
+        # stage-varying where/commit logic: under full-manual the vma
+        # checker is off (historical behavior); partial-manual needs it on
+        check_vma=vma_on,
+        axis_names=manual if vma_on else frozenset(),
     )(stage_params, x, mb_aux)
     return out[-1]
 
@@ -211,6 +258,7 @@ def apply_conformer_pipelined(
     *,
     pipe_axis: str = PIPE_AXIS,
     data_axis: str | None = None,
+    model_axis: str | None = None,  # tp composed into the pipeline
     stacked_layers=None,  # pre-placed stack_layers() output (training keeps
     # the stacked layout resident so updates stay sharded); built from
     # params["layers"] when None
@@ -293,6 +341,7 @@ def apply_conformer_pipelined(
         mesh,
         pipe_axis=pipe_axis,
         data_axis=data_axis,
+        model_axis=model_axis,
         aux_specs=(P(None, data_axis), P()),  # keys replicate across data
     )
     x = out.reshape(b, t, spec.dim)
@@ -348,22 +397,31 @@ def pp_unstack_tree(tree):
     return _map_conformer_subtrees(tree, fn)
 
 
-def pipeline_param_specs(tree):
+def pipeline_param_specs(tree, model: bool = False):
     """``PartitionSpec`` tree for a stage-stacked parameter tree: stacked
     layer leaves shard their leading stage axis over ``pipe``; everything
-    else replicates (small projections/norms + non-encoder weights)."""
-    from .tp import _path_keys
+    else replicates (small projections/norms + non-encoder weights).
+
+    ``model=True`` (dp x pp x tp): each stacked layer leaf ADDITIONALLY
+    takes its Megatron spec (tp.py) on the axes after the two stage-stack
+    dims — e.g. an mhsa q weight [S, L/S, d, d] shards
+    P("pipe", None, None, "model"), 2-D at rest."""
+    from .tp import _path_keys, _spec_for
 
     def spec_for(path, leaf):
         keys = _path_keys(path)
         if "layers" in keys and "conformer" in keys:
+            if model:
+                sub = _spec_for(keys, leaf, ndim=max(leaf.ndim - 2, 0))
+                return P(PIPE_AXIS, None, *sub)
             return P(PIPE_AXIS)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def setup_pipeline_parallel(mesh: Mesh, params, opt_state=None, batch=None):
+def setup_pipeline_parallel(mesh: Mesh, params, opt_state=None, batch=None,
+                            model: bool = False):
     """Place training state for dp x pp under a ``(data, pipe)`` mesh.
 
     ``params``/``opt_state`` must already be in the stacked layout
@@ -377,7 +435,7 @@ def setup_pipeline_parallel(mesh: Mesh, params, opt_state=None, batch=None):
     from .mesh import shard_batch
     from .tp import opt_state_shardings
 
-    specs = pipeline_param_specs(params)
+    specs = pipeline_param_specs(params, model=model)
     shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
     )

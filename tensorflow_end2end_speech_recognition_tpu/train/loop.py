@@ -358,14 +358,20 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     pp = exp.num_pipeline_stages or 1
     sp = exp.num_sequence_shards or 1
     ep = exp.num_expert_shards or 1
-    # tp and sp COMPOSE (both placement-only — 3-D data x seq x model mesh);
-    # pipeline stages (shard_map-resident weights) and expert shards (their
-    # own 2-D dispatch mesh) stay exclusive axes
-    if (pp > 1 or ep > 1) and sum(x > 1 for x in (tp, pp, sp, ep)) > 1:
+    # tp COMPOSES with sp (3-D data x seq x model) and with pp (3-D data x
+    # pipe x model — partial-manual shard_map, parallel/pp.py); expert
+    # shards keep their own exclusive 2-D dispatch mesh, and pp+sp would
+    # shard the same activations two ways — not supported
+    if ep > 1 and (tp > 1 or pp > 1 or sp > 1):
         raise ValueError(
-            "num_pipeline_stages / num_expert_shards are mutually exclusive "
-            "with every other model-sharding axis; only num_model_shards + "
-            "num_sequence_shards compose"
+            "num_expert_shards is mutually exclusive with the other "
+            "model-sharding axes"
+        )
+    if pp > 1 and sp > 1:
+        raise ValueError(
+            "num_pipeline_stages and num_sequence_shards are mutually "
+            "exclusive (both shard the encoder activations); "
+            "num_model_shards composes with either"
         )
     if exp.fsdp and pp > 1:
         raise ValueError(
@@ -439,13 +445,15 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
                  + f" ({jax.process_count()} process(es))")
     elif pp > 1:
         from ..parallel import make_mesh_dp_pp
+        from ..parallel.pp import make_mesh_dp_pp_tp
 
-        total = exp.num_devices or pp
-        if total % pp:
+        total = exp.num_devices or (pp * tp)
+        if total % (pp * tp):
             raise ValueError(
-                f"num_devices {total} not divisible by num_pipeline_stages {pp}"
+                f"num_devices {total} not divisible by num_pipeline_stages x "
+                f"num_model_shards = {pp}x{tp}"
             )
-        dp = total // pp
+        dp = total // (pp * tp)
         mb = exp.num_pipeline_microbatches or 4 * pp
         for name, b in (("batch_size", exp.batch_size),
                         ("eval_batch_size", exp.eval_batch_size or exp.batch_size)):
@@ -458,9 +466,10 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
                     f"{name} {b} / {mb} microbatches leaves {b // mb} rows, "
                     f"not divisible by data-parallel degree {dp}"
                 )
-        mesh = make_mesh_dp_pp(dp, pp)
-        print_fn(f"mesh: {dp}-way data x {pp}-stage pipeline "
-                 f"({mb} microbatches, {jax.process_count()} process(es))")
+        mesh = make_mesh_dp_pp_tp(dp, pp, tp) if tp > 1 else make_mesh_dp_pp(dp, pp)
+        print_fn(f"mesh: {dp}-way data x {pp}-stage pipeline"
+                 + (f" x {tp}-way tensor parallel" if tp > 1 else "")
+                 + f" ({mb} microbatches, {jax.process_count()} process(es))")
     elif (exp.num_devices and exp.num_devices > 1) or tp > 1:
         from ..parallel import make_mesh, make_mesh_2d
 
@@ -514,7 +523,10 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
 
             params = pp_stack_tree(params, pp)
             opt_state = pp_stack_tree(opt_state, pp)
-            params, opt_state, _ = setup_pipeline_parallel(mesh, params, opt_state)
+            # model=True (pp x tp): stage weights additionally take their
+            # Megatron spec — 2-D (pipe, model) sharding at rest
+            params, opt_state, _ = setup_pipeline_parallel(
+                mesh, params, opt_state, model=tp > 1)
         elif tp > 1:
             if exp.fsdp:
                 # ZeRO-3 x Megatron: the data axis fills each tp-parallel

@@ -314,7 +314,13 @@ class ExperimentConfig:
             depthwise_impl=depthwise,
             pipeline_stages=self.num_pipeline_stages,
             pipeline_microbatches=self.num_pipeline_microbatches or 4 * pp,
-            pipeline_data_parallel=(self.num_devices or pp) // pp,
+            # when pp composes with tp (3-D data x pipe x model mesh) the
+            # data axis is what remains after BOTH model axes
+            pipeline_data_parallel=(
+                (self.num_devices or (pp * (self.num_model_shards or 1)))
+                // (pp * (self.num_model_shards or 1))
+            ),
+            pipeline_model_parallel=(self.num_model_shards or 1) if pp > 1 else 1,
             sequence_shards=self.num_sequence_shards,
             # when sp composes with tp (3-D data x seq x model mesh) the
             # data axis is what remains after BOTH model axes

@@ -195,7 +195,94 @@ def test_config_derives_3d_dims():
     assert enc.depthwise_impl == "shifts"
 
 
-def test_pp_and_ep_still_exclusive(tmp_path):
+def _pp_tp_task(composed=False):
+    task = CTCTaskConfig(
+        model=CTCConfig(
+            encoder=EncoderConfig(
+                encoder_type="conformer", num_units=16, num_layers=4,
+                num_heads=2, conv_kernel_size=5, depthwise_impl="shifts",
+                pipeline_stages=2 if composed else None,
+                pipeline_microbatches=4,
+                pipeline_data_parallel=2 if composed else 1,
+                pipeline_model_parallel=2 if composed else 1,
+            ),
+            num_classes=6,
+        ),
+        frontend=FrontendConfig(add_deltas=False, use_energy=False),
+    )
+    return task
+
+
+def test_pp_tp_full_step_matches_single_device():
+    """dp2 x pp2 x tp2: the partial-manual pipeline (pipe/data manual,
+    model auto) with 2-D (pipe, model) stage weights reproduces the
+    single-device train step."""
+    from tensorflow_end2end_speech_recognition_tpu.parallel import (
+        pp_stack_tree,
+        setup_pipeline_parallel,
+        shard_batch,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.parallel.pp import (
+        make_mesh_dp_pp_tp,
+    )
+
+    rng = np.random.RandomState(0)
+    b = 8
+    batch = {
+        "inputs": jnp.asarray(rng.randn(b, 4096).astype(np.float32) * 0.1),
+        "input_len": jnp.full((b,), 4096, jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 6, (b, 4)).astype(np.int32)),
+        "label_len": jnp.full((b,), 4, jnp.int32),
+    }
+    opt = build_optimizer("sgd")
+    task1 = _pp_tp_task()
+    params = init_params(jax.random.PRNGKey(0), task1)
+    step1 = make_train_step(task1, opt)
+    p1 = jax.tree.map(jnp.copy, params)
+    s1 = opt.init(p1)
+    p1, s1, aux1 = step1(p1, s1, batch, 1e-3, jax.random.PRNGKey(1))
+
+    task8 = _pp_tp_task(composed=True)
+    mesh = make_mesh_dp_pp_tp(2, 2, 2)
+    p8 = pp_stack_tree(jax.tree.map(jnp.copy, params), 2)
+    s8 = pp_stack_tree(opt.init(jax.tree.map(jnp.copy, params)), 2)
+    p8, s8, _ = setup_pipeline_parallel(mesh, p8, s8, model=True)
+    qw = p8["encoder"]["conformer"]["layers"]["mhsa"]["q"]["w"]
+    assert qw.sharding.spec == P("pipe", None, None, "model"), qw.sharding
+    assert len(qw.sharding.device_set) == 8
+    b8 = shard_batch(mesh, batch)
+    step8 = make_train_step(task8, opt)
+    p8, s8, aux8 = step8(p8, s8, b8, 1e-3, jax.random.PRNGKey(1))
+    from tensorflow_end2end_speech_recognition_tpu.parallel import pp_unstack_tree
+
+    p8 = pp_unstack_tree(p8)
+    _assert_equal(aux1, p1, aux8, p8)
+    # updated stage weights kept their 2-D sharding (no resharding per step)
+
+
+def test_fit_pp_tp_end_to_end(tmp_path):
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    exp = ExperimentConfig(
+        model_type="ctc", label_type="phone61", encoder_type="conformer",
+        num_units=16, num_layers=2, num_heads=2, conv_kernel_size=5,
+        batch_size=8, num_epoch=2, toy_num_utts=24, toy_max_units=4,
+        num_devices=8, num_model_shards=2, num_pipeline_stages=2,
+        num_pipeline_microbatches=4,
+        use_delta=False, use_energy=False,
+    )
+    summary = fit(exp, str(tmp_path / "m"), log_every=100,
+                  print_fn=lambda *a: None)
+    assert np.isfinite(summary["train_loss"])
+    assert summary["epochs"] == 2
+
+
+def test_pp_and_sp_still_exclusive(tmp_path):
+    """pp composes with tp (above); pp + sp would shard the same
+    activations two ways and stays rejected."""
     from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
     from tensorflow_end2end_speech_recognition_tpu.utils.config import (
         ExperimentConfig,
@@ -205,7 +292,7 @@ def test_pp_and_ep_still_exclusive(tmp_path):
         model_type="ctc", label_type="phone61", encoder_type="conformer",
         num_units=16, num_layers=2, num_heads=2, conv_kernel_size=5,
         batch_size=8, num_epoch=1, toy_num_utts=8,
-        num_devices=8, num_model_shards=2, num_pipeline_stages=2,
+        num_devices=8, num_sequence_shards=2, num_pipeline_stages=2,
         use_delta=False, use_energy=False,
     )
     with pytest.raises(ValueError, match="exclusive"):
