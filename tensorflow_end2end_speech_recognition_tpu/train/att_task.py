@@ -34,6 +34,16 @@ class AttTaskConfig(NamedTuple):
     ctc_impl: str = "auto"
     scheduled_sampling_ramp_max_step: int = 0
     spec_augment: SpecAugmentConfig | None = None
+    # guided attention (Tachibana et al. 2017, arXiv 1710.08969): penalize
+    # attention mass off the monotonic diagonal so the alignment emerges in
+    # tens of updates instead of thousands; annealed to zero (train only)
+    guided_attention_weight: float = 0.0
+    guided_attention_sigma: float = 0.2
+    guided_attention_decay_steps: int = 0
+    # joint models: anneal λ from ctc_weight_init down to
+    # model.ctc_loss_weight over ctc_weight_anneal_steps (None = static λ)
+    ctc_weight_init: float | None = None
+    ctc_weight_anneal_steps: int = 0
     # per-frame dim of precomputed [T, D] features (frontend=None mode, the
     # reference's primary .npy input — SURVEY.md §2.6)
     feature_dim: int | None = None
@@ -79,6 +89,46 @@ def scheduled_sampling_prob(task: AttTaskConfig, step):
     return base * jnp.minimum(step / ramp, 1.0)
 
 
+def guided_attention_penalty(att_w, label_mask, enc_len, sigma):
+    """Per-utterance guided-attention penalty (Tachibana et al. 2017).
+
+    ``att_w`` [B, U, T] are the decoder's attention rows (each sums to 1
+    over valid t); the penalty is the attention mass weighted by how far
+    (t/T, u/U) sits from the monotonic diagonal: w = 1 - exp(-(t/T - u/U)^2
+    / (2 sigma^2)). A perfectly diagonal alignment scores ~0; a flat or
+    wandering one scores ~1. Returns [B] means over valid label positions.
+    """
+    b, u_dim, t_dim = att_w.shape
+    upos = jnp.arange(u_dim, dtype=jnp.float32)[None, :, None]
+    tpos = jnp.arange(t_dim, dtype=jnp.float32)[None, None, :]
+    ulen = jnp.maximum(jnp.sum(label_mask, axis=1), 1.0)[:, None, None]
+    tlen = jnp.maximum(enc_len.astype(jnp.float32), 1.0)[:, None, None]
+    off_diag = 1.0 - jnp.exp(
+        -0.5 * jnp.square(tpos / tlen - upos / ulen) / (sigma * sigma)
+    )
+    pen = att_w * off_diag * (tpos < tlen) * label_mask[:, :, None]
+    return jnp.sum(pen, axis=(1, 2)) / jnp.maximum(jnp.sum(label_mask, axis=1), 1.0)
+
+
+def ga_weight_schedule(task: AttTaskConfig, step):
+    """Annealed guided-attention weight: linear decay to 0 (train only)."""
+    w = task.guided_attention_weight
+    if w == 0.0:
+        return 0.0
+    if task.guided_attention_decay_steps <= 0:
+        return w
+    return w * jnp.maximum(0.0, 1.0 - step / task.guided_attention_decay_steps)
+
+
+def ctc_lambda(task: AttTaskConfig, step):
+    """Joint-loss λ, optionally annealed from ctc_weight_init."""
+    lam = task.model.ctc_loss_weight
+    if task.ctc_weight_init is None or task.ctc_weight_anneal_steps <= 0:
+        return lam
+    frac = jnp.minimum(step / task.ctc_weight_anneal_steps, 1.0)
+    return task.ctc_weight_init + frac * (lam - task.ctc_weight_init)
+
+
 def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     cfg = task.model
     feats, feat_len = device_pipeline(task, batch)
@@ -97,6 +147,16 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     )
     aux = {"att_nll": att_nll}
     loss = att_nll
+    if train and task.guided_attention_weight > 0.0:
+        ga = batch_mean(
+            guided_attention_penalty(
+                out.attention_weights, mask, out.enc_len,
+                task.guided_attention_sigma,
+            ),
+            row_w,
+        )
+        aux["guided_att"] = ga
+        loss = loss + ga_weight_schedule(task, step) * ga
     if cfg.is_joint:
         ctc_nll = batch_mean(
             ctc_loss(
@@ -106,7 +166,8 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
             row_w,
         )
         aux["ctc_nll"] = ctc_nll
-        loss = joint_loss(ctc_nll, att_nll, cfg.ctc_loss_weight)
+        loss = joint_loss(ctc_nll, att_nll,
+                          ctc_lambda(task, step) if train else cfg.ctc_loss_weight)
     if out.aux_loss is not None and train:
         # MoE load-balance loss (weighted in the encoder); train only
         loss = loss + out.aux_loss

@@ -228,6 +228,11 @@ def build_att_task(exp: ExperimentConfig, tokenizer, feature_dim: int | None = N
         label_smoothing=exp.label_smoothing_prob,
         scheduled_sampling_ramp_max_step=exp.scheduled_sampling_ramp_max_step,
         spec_augment=_specaug(exp),
+        guided_attention_weight=exp.guided_attention_weight,
+        guided_attention_sigma=exp.guided_attention_sigma,
+        guided_attention_decay_steps=exp.guided_attention_decay_steps,
+        ctc_weight_init=exp.ctc_loss_weight_init,
+        ctc_weight_anneal_steps=exp.ctc_loss_weight_anneal_steps,
         feature_dim=feature_dim,
     )
 

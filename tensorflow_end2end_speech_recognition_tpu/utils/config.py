@@ -76,6 +76,20 @@ class ExperimentConfig:
     # joint CTC-attention
     ctc_loss_weight: float = 0.0
     main_task_weight: float = 0.8
+    # attention-convergence recipe (TPU-first extension, VERDICT r3 #2: the
+    # reference's attention models need thousands of updates before the
+    # alignment emerges; these schedules make it emerge at short budgets).
+    # guided attention (Tachibana et al. 2017): penalize attention mass far
+    # from the ideal monotonic diagonal t/T = u/U, annealed to zero so the
+    # converged model is unconstrained.
+    guided_attention_weight: float = 0.0
+    guided_attention_sigma: float = 0.2
+    guided_attention_decay_steps: int = 0  # 0 = constant weight
+    # joint models: start training CTC-heavy (the CTC head converges in tens
+    # of steps and shapes the encoder for monotonic alignment), anneal the
+    # mix linearly to ctc_loss_weight over N steps
+    ctc_loss_weight_init: float | None = None
+    ctc_loss_weight_anneal_steps: int = 0
     # transducer (TPU-first extension; model_type: transducer)
     pred_num_units: int = 256
     pred_num_layers: int = 1
