@@ -54,12 +54,26 @@ class Dataset:
         input_kind: str = "auto",  # "wav" | "features" | "auto" (by ndim)
         cmvn_stats: dict | None = None,  # speaker -> (mean, inv_std); batches
         # then carry per-utterance cmvn_mean/cmvn_inv_std rows (SURVEY.md §2.9)
+        max_frames_per_batch: int | None = None,  # activation-memory guard:
+        # reference `base.py` halved batch_size for very long utterances
+        # (SURVEY.md §2.6 dataset base). TPU-first version: when a batch's
+        # padded frames x rows exceed this budget, emit FEWER rows (halved
+        # until it fits) rather than growing memory — row counts stay
+        # powers-of-two fractions of batch_size so XLA compiles at most
+        # log2(B) extra programs (static shapes preserved per batch).
+        min_batch_rows: int = 1,  # floor for the reduction (keep divisibility
+        # by grad-accum / data-mesh factors; train/loop.py sets this)
+        samples_per_frame: int = 1,  # wav-mode unit conversion so the budget
+        # is always in FRAMES (the reference's unit); frontend frame_step
     ):
         if not utterances:
             raise ValueError("empty dataset")
         self.utterances = list(utterances)
         self.cmvn_stats = cmvn_stats
         self.batch_size = batch_size
+        self.max_frames_per_batch = max_frames_per_batch
+        self.min_batch_rows = max(1, min_batch_rows)
+        self.samples_per_frame = max(1, samples_per_frame)
         self.sort_utt = sort_utt
         self.sort_stop_epoch = sort_stop_epoch if sort_stop_epoch is not None else (1 << 30)
         self.seed = seed
@@ -83,6 +97,8 @@ class Dataset:
         self.sub_label_ladder = (
             bucket_ladder(sub_lens, num_label_buckets, multiple=8) if sub_lens else None
         )
+        # upper-bound estimate; with max_frames_per_batch the true per-epoch
+        # count comes from _batch_extents (long batches split into more)
         self.num_batches = -(-len(self.utterances) // batch_size)
 
     def __len__(self):
@@ -98,7 +114,6 @@ class Dataset:
         """
         order = np.argsort(self._input_lens, kind="stable")
         rng = np.random.RandomState(self.seed + epoch)
-        batch_starts = np.arange(self.num_batches) * self.batch_size
         if not self.sort_utt or epoch >= self.sort_stop_epoch:
             # after the curriculum: vary batch *composition* per epoch, not
             # just batch order (the reference reshuffled utterances). Shuffle
@@ -108,14 +123,46 @@ class Dataset:
             block = max(self.batch_size * 4, 1)
             for s in range(0, len(order), block):
                 rng.shuffle(order[s : s + block])
-            rng.shuffle(batch_starts)  # shuffle batch order, keep bucketing
-        for start in batch_starts:
-            idx = order[start : start + self.batch_size]
-            yield self._make_batch(idx)
+            shuffle_batches = True
+        else:
+            shuffle_batches = False
+        extents = self._batch_extents(order)
+        if shuffle_batches:
+            rng.shuffle(extents)  # shuffle batch order, keep bucketing
+        for start, rows in extents:
+            idx = order[start : start + rows]
+            yield self._make_batch(idx, rows)
 
-    def _make_batch(self, idx):
+    def _batch_extents(self, order):
+        """List of ``(start, rows)`` batch slices of the epoch ordering.
+
+        ``rows == batch_size`` everywhere unless ``max_frames_per_batch`` is
+        set, in which case long-utterance batches halve their row count until
+        ``padded_frames * rows`` fits the budget (down to ``min_batch_rows``).
+        """
+        extents = []
+        i, n = 0, len(order)
+        while i < n:
+            rows = self.batch_size
+            if self.max_frames_per_batch is not None:
+                while True:
+                    idx = order[i : i + rows]
+                    t_pad = pad_to_ladder(
+                        int(self._input_lens[idx].max()), self.wav_ladder
+                    )
+                    frames = -(-t_pad // self.samples_per_frame)
+                    if frames * rows <= self.max_frames_per_batch:
+                        break
+                    if rows <= self.min_batch_rows:
+                        break
+                    rows = max(self.min_batch_rows, rows // 2)
+            extents.append((i, rows))
+            i += rows
+        return extents
+
+    def _make_batch(self, idx, rows: int | None = None):
         utts = [self.utterances[i] for i in idx]
-        b = self.batch_size
+        b = rows if rows is not None else self.batch_size
         in_lens = [self._input_lens[i] for i in idx]
         t_pad = pad_to_ladder(max(in_lens), self.wav_ladder)
         u_pad = pad_to_ladder(max(len(u.label_ids) for u in utts), self.label_ladder)

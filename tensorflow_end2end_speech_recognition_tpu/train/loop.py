@@ -309,9 +309,18 @@ def fit(exp: ExperimentConfig, model_dir: str, log_every: int = 10, print_fn=pri
     # one corpus sweep for per-speaker mean/var (SURVEY.md §2.9); batches
     # then carry each utterance's speaker stats into the jitted pipeline
     cmvn_stats = cmvn_stats_for(exp, task, train_utts + dev_utts)
+    # max_frames_per_batch (SURVEY.md §2.6 dynamic batch reduction) is
+    # specified in frames; wav-mode lengths are samples, so hand the
+    # frontend hop down for the unit conversion. The row floor keeps
+    # reduced batches divisible by grad-accum and the device count.
+    wav_mode = train_utts[0].wav.ndim == 1
+    frontend = getattr(task, "frontend", None)
     train_ds = Dataset(
         train_utts, exp.batch_size, sort_utt=exp.sort_utt,
         sort_stop_epoch=exp.sort_stop_epoch, seed=exp.seed, cmvn_stats=cmvn_stats,
+        max_frames_per_batch=exp.max_frames_per_batch,
+        min_batch_rows=exp.grad_accum_steps * (exp.num_devices or 1),
+        samples_per_frame=(frontend.frame_step if wav_mode and frontend else 1),
     )
     dev_ds = Dataset(
         dev_utts, exp.eval_batch_size or exp.batch_size, sort_utt=True,

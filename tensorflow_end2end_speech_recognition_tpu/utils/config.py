@@ -120,6 +120,12 @@ class ExperimentConfig:
     sort_utt: bool = True
     sort_stop_epoch: int | None = None
     eval_batch_size: int | None = None
+    # dynamic batch-size reduction for very long utterances (reference
+    # `utils/dataset/base.py` halved batch_size past frame thresholds,
+    # SURVEY.md §2.6): cap padded_frames x rows per train batch; long
+    # batches emit power-of-two fewer rows (static shapes, <= log2(B)
+    # extra XLA programs). None = off. Unit: FRAMES (10 ms default hop).
+    max_frames_per_batch: int | None = None
     # data parallelism (TPU-native extension; the reference was single-GPU).
     # num_devices > 1 trains over a 1-D DP mesh: batch sharded over ICI,
     # params/opt-state replicated, gradient psum inserted by XLA.

@@ -55,6 +55,39 @@ def test_dataset_batch_composition_varies_after_sort_stop_epoch():
     assert len(all_names) == 64
 
 
+def test_dataset_max_frames_per_batch_guard():
+    """Long-utterance batches shrink their row count to fit the frame budget
+    (SURVEY.md §2.6 dynamic batch reduction), while coverage and the
+    weight-0 fill convention are preserved."""
+    corpus = ToyCorpus(num_utts=48, vocab_size=6, seed=3)
+    base = Dataset(corpus.utterances, batch_size=8)
+    # pick a budget that forces the longest bucket to halve at least once
+    # (wav samples -> frames at the 160-sample hop the loop passes down)
+    spf = 160
+    top_frames = -(-base.wav_ladder[-1] // spf)
+    budget = top_frames * 4  # top bucket fits at most 4 rows
+    ds = Dataset(
+        corpus.utterances, batch_size=8, sort_stop_epoch=1,
+        max_frames_per_batch=budget, min_batch_rows=2, samples_per_frame=spf,
+    )
+    seen, reduced = [], False
+    for b in ds.batches(0):
+        rows = b["inputs"].shape[0]
+        frames = -(-b["inputs"].shape[1] // spf)
+        assert rows in (2, 4, 8)
+        assert frames * rows <= budget or rows == 2
+        if rows < 8:
+            reduced = True
+        seen += [n for n in b["names"] if n is not None]
+    assert reduced, "budget was chosen to force at least one reduction"
+    assert sorted(seen) == sorted(u.name for u in corpus.utterances)
+    # shuffled epochs keep coverage too
+    seen2 = [n for b in ds.batches(5) for n in b["names"] if n is not None]
+    assert sorted(seen2) == sorted(seen)
+    # default path is unchanged: every batch at full rows
+    assert all(b["inputs"].shape[0] == 8 for b in base.batches(0))
+
+
 def test_char_tokenizer_roundtrip():
     tok = CharTokenizer()
     ids = tok.encode_text("hello world")
