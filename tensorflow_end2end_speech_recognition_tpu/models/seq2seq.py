@@ -136,16 +136,19 @@ def _init_decoder_carry(cfg: Seq2SeqConfig, enc_out):
 
 
 def encode(params, cfg: Seq2SeqConfig, feats, feat_len, train=False, rng=None):
-    # pallas_t_cap=800 (was 200): in round 2 the attention-decoder backward
-    # composed with Pallas encoder kernels hard-crashed the remote compiler
-    # at T=400. The round-3 toolchain probe (benchmarks/cap_raise_probe.py)
-    # shows the crash class now errors CLEANLY, and with the bidi backward's
-    # kt=2 (lstm_kernel._BLOCK_T_BIDI_BWD) the composition compiles and runs:
-    # joint BPE flagship 30.9 ms/step (1036 utts/s) vs 35.7 scan-encoder.
-    # 800 matches pallas_fits' per-layer T cap (beyond it scan wins anyway —
-    # measured equal at T=1198, BASELINE.md round 3).
+    # pallas_t_cap=400: the attention-decoder backward composed with Pallas
+    # encoder kernels is the remote compiler's fragile class (CLAUDE.md
+    # composition limits). Round 3 measured the composition GOOD at T=400
+    # (joint BPE flagship: 30.9 ms/step, 1036 utts/s, vs 35.7 scan-encoder)
+    # after the bidi-backward kt=2 fix, and raised the cap to 800 — but in
+    # round 4 the hard-corpus timit_attention run (3-layer pyramidal BLSTM,
+    # T=502) hard-crashed the TPU worker mid-train, so the boundary for
+    # THIS composition is somewhere in (400, 502]. Cap at the measured-good
+    # 400: the flagship keeps its Pallas path, longer inputs take the
+    # whole-stack scan (which compiles and runs at every tested shape).
+    # CTC-only models are unaffected (apply_encoder's own 800 default).
     enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng,
-                        pallas_t_cap=800)
+                        pallas_t_cap=400)
     ctc_logits = ctc_len = None
     if cfg.is_joint:
         ctc_logits = (
