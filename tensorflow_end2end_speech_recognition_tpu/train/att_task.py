@@ -147,16 +147,6 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
     )
     aux = {"att_nll": att_nll}
     loss = att_nll
-    if train and task.guided_attention_weight > 0.0:
-        ga = batch_mean(
-            guided_attention_penalty(
-                out.attention_weights, mask, out.enc_len,
-                task.guided_attention_sigma,
-            ),
-            row_w,
-        )
-        aux["guided_att"] = ga
-        loss = loss + ga_weight_schedule(task, step) * ga
     if cfg.is_joint:
         ctc_nll = batch_mean(
             ctc_loss(
@@ -168,6 +158,20 @@ def forward_loss(params, task: AttTaskConfig, batch, train: bool, rng, step=0):
         aux["ctc_nll"] = ctc_nll
         loss = joint_loss(ctc_nll, att_nll,
                           ctc_lambda(task, step) if train else cfg.ctc_loss_weight)
+    # guided attention is added AFTER the joint mix: the joint branch
+    # replaces the base loss with λ·ctc + (1-λ)·att, and adding the penalty
+    # before it silently dropped the term for joint models (round-4 bug:
+    # every joint guided-attention arm equaled its baseline bit-for-bit)
+    if train and task.guided_attention_weight > 0.0:
+        ga = batch_mean(
+            guided_attention_penalty(
+                out.attention_weights, mask, out.enc_len,
+                task.guided_attention_sigma,
+            ),
+            row_w,
+        )
+        aux["guided_att"] = ga
+        loss = loss + ga_weight_schedule(task, step) * ga
     if out.aux_loss is not None and train:
         # MoE load-balance loss (weighted in the encoder); train only
         loss = loss + out.aux_loss

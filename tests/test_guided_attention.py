@@ -137,6 +137,28 @@ def test_guided_loss_added_in_train_not_eval():
     np.testing.assert_allclose(float(e0), float(e1))
 
 
+def test_guided_loss_added_for_joint_models():
+    """Regression: the joint branch REPLACES the base loss with the λ mix;
+    the guided penalty must be added after it (it was silently dropped for
+    joint models — every joint guided arm equaled its baseline exactly)."""
+    rng = np.random.RandomState(3)
+    batch = _batch(rng)
+    plain = _task(ctc_loss_weight=0.3)
+    guided = _task(ctc_loss_weight=0.3, guided_attention_weight=2.0)
+    params = init_params(jax.random.PRNGKey(0), plain)
+    key = jax.random.PRNGKey(2)
+    l0, aux0 = forward_loss(params, plain, batch, train=True, rng=key)
+    l1, aux1 = forward_loss(params, guided, batch, train=True, rng=key)
+    assert "ctc_nll" in aux1  # really the joint family
+    np.testing.assert_allclose(
+        float(l1), float(l0) + 2.0 * float(aux1["guided_att"]), rtol=1e-6
+    )
+    # eval-mode NLL unchanged
+    e0, _ = forward_loss(params, plain, batch, train=False, rng=None)
+    e1, _ = forward_loss(params, guided, batch, train=False, rng=None)
+    np.testing.assert_allclose(float(e0), float(e1))
+
+
 def test_joint_lambda_anneal_in_train_step():
     """λ anneal: early steps weigh the CTC term per ctc_weight_init."""
     rng = np.random.RandomState(3)
