@@ -317,9 +317,10 @@ def apply_encoder(
     lengths: jnp.ndarray,  # [B]
     train: bool = False,
     rng: jax.Array | None = None,
-    pallas_t_cap: int = 800,  # input length beyond which the LSTM stack
-    # rides lax.scan (see the long-sequence note below); attention models
-    # pass a lower cap because their decoder backward composes on top
+    pallas_t_cap: int = 400,  # input length beyond which the LSTM stack
+    # rides lax.scan — the measured-good multi-kernel boundary on the
+    # round-4 toolchain (see ops/pallas/lstm_kernel.pallas_fits docstring;
+    # T=502 multi-layer programs hard-crashed the TPU worker)
 ) -> EncoderOutput:
     spec = cfg.spec()
     drop_keys = (

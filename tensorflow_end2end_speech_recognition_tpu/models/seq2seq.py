@@ -146,7 +146,9 @@ def encode(params, cfg: Seq2SeqConfig, feats, feat_len, train=False, rng=None):
     # THIS composition is somewhere in (400, 502]. Cap at the measured-good
     # 400: the flagship keeps its Pallas path, longer inputs take the
     # whole-stack scan (which compiles and runs at every tested shape).
-    # CTC-only models are unaffected (apply_encoder's own 800 default).
+    # (The same day, plain multi-layer CTC programs at T=502 crashed too,
+    # so apply_encoder's default cap is now also 400 — kept explicit here
+    # because the decoder-composed boundary can move independently.)
     enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng,
                         pallas_t_cap=400)
     ctc_logits = ctc_len = None

@@ -191,15 +191,18 @@ def pallas_fits(b: int, h: int, t: int | None = None) -> bool:
     with b*h; anchor kt=4 at b*h=32*512) and the VMEM-resident [H, 4H]
     weights (4 MB each at H=512; the bidirectional kernels hold two).
 
-    The sequence-length cap is empirical: a single layer compiles and runs
-    at T=1198, but a multi-layer BACKWARD program combining two bidi
-    kernels at T>~800 hard-crashes the remote compile helper (measured:
-    2-layer pyramidal grad OK at T=800, crash at T=1198, while the 5-layer
-    T=400 flagship is fine) — per-layer T<=800 keeps every measured
-    composition inside the compiler's envelope; longer sequences ride the
-    lax.scan path (0.77x the kernel's rate).
+    The sequence-length cap is empirical and has MOVED between rounds as
+    the remote toolchain changed: round 3 measured 2-layer pyramidal grad
+    OK at T=800 (crash at T=1198) and set the cap there; in round 4 BOTH
+    hard-corpus TIMIT rows (2-layer BLSTM CTC and 3-layer pyramidal +
+    attention decoder, per-layer T=502) hard-crashed the TPU WORKER
+    mid-train, while every T=400 composition (5-layer joint flagship,
+    stacked LS rows) passed the same day — today's boundary is in
+    (400, 502]. Cap at the measured-good 400; longer sequences ride the
+    lax.scan path (0.77x the kernel's rate), which compiles and runs at
+    every tested shape.
     """
-    if t is not None and t > 800:
+    if t is not None and t > 400:
         return False
     return b * h <= 4 * _ANCHOR_ROWS and h <= 512
 

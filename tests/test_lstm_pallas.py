@@ -98,7 +98,9 @@ def test_block_scaling_and_vmem_fit_guard():
     assert pallas_fits(32, 512) and pallas_fits(128, 512) and pallas_fits(256, 256)
     assert not pallas_fits(256, 512)  # kt=1 still busts scoped VMEM
     assert not pallas_fits(32, 1024)  # [H,4H] weights alone too big
-    # sequence-length cap: multi-layer backward programs combining kernels
-    # at T>800 crash the remote compile helper (measured)
-    assert pallas_fits(32, 512, t=800)
+    # sequence-length cap: multi-layer programs combining kernels past the
+    # per-round measured boundary crash the remote compiler/worker
+    # (round 4: T=502 crashed, T=400 good — see pallas_fits docstring)
+    assert pallas_fits(32, 512, t=400)
+    assert not pallas_fits(32, 512, t=502)
     assert not pallas_fits(32, 512, t=1198)
