@@ -49,10 +49,23 @@ def pallas_ctc_fwd_fits(t: int, c: int, u: int) -> bool:
     """VMEM guard for the forward-only kernel (no [T,S] alpha buffer, no
     [T,C] grad output — just logits, the transient lp, lpz, and the onehot),
     so it admits larger shapes than the fused loss+grad kernel."""
+    if t > _PALLAS_T_CAP:
+        return False
     c_pad = -(-c // 128) * 128
     s_pad = -(-(2 * u + 1) // 128) * 128
     vmem = 4 * (2 * t * c_pad + t * s_pad + s_pad * c_pad + 3 * s_pad)
     return vmem <= 12 * 1024 * 1024
+
+
+# Round-4 toolchain boundary, shared with the LSTM kernel (ops/pallas/
+# lstm_kernel.pallas_fits): the hard-corpus timit_ctc_blstm row crashed
+# the TPU WORKER mid-train at T=500 with BOTH encoder routings (Pallas
+# LSTM and lax.scan), while timit_attention — the same Pallas LSTM
+# encoder at T=502 but NO CTC head — passed, isolating the fused CTC
+# kernel at T~500 as the crasher. Every T<=400 CTC-kernel program
+# (ls100/ls960/joint rows, T'=400 after stacking) passed the same day.
+# Re-probe the boundary each round before raising.
+_PALLAS_T_CAP = 400
 
 
 def pallas_ctc_fits(t: int, c: int, u: int) -> bool:
@@ -64,8 +77,11 @@ def pallas_ctc_fits(t: int, c: int, u: int) -> bool:
     or very long unstacked utterances overflow the ~16 MB scoped budget —
     which the remote TPU compiler reports as a hard compile-helper crash,
     not an error (same failure class as the LSTM kernel at B>=64) — so
-    route oversized shapes to the lax.scan implementation.
+    route oversized shapes to the lax.scan implementation. ``t`` is also
+    capped at the per-round compiler boundary (``_PALLAS_T_CAP``).
     """
+    if t > _PALLAS_T_CAP:
+        return False
     c_pad = -(-c // 128) * 128
     s_pad = -(-(2 * u + 1) // 128) * 128
     vmem = 4 * (3 * t * c_pad + 2 * t * s_pad + s_pad * c_pad + s_pad)

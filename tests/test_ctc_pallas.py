@@ -55,7 +55,10 @@ def test_pallas_ctc_vmem_fit_guard():
 
     # flagship shapes comfortably fit
     assert pallas_ctc_fits(400, 29, 40)
-    assert pallas_ctc_fits(1000, 29, 200)
+    # beyond the per-round compiler T boundary -> scan fallback (round 4:
+    # T=500 hard-crashed the TPU worker, T=400 good; see ops/ctc.py)
+    assert not pallas_ctc_fits(500, 29, 48)
+    assert not pallas_ctc_fits(1000, 29, 200)
     # CSJ-kanji-scale vocab at long T overflows -> scan fallback
     assert not pallas_ctc_fits(1000, 3000, 100)
     # very long unstacked utterance with a long transcript
@@ -99,11 +102,9 @@ def test_pallas_fwd_fits_admits_more_than_fused():
     )
 
     assert pallas_ctc_fwd_fits(400, 29, 40)
-    # shapes the fused loss+grad kernel rejects but forward-only admits
-    # (no [T,S] alpha buffer, no [T,C] grad): long unstacked joint eval
+    # both kernels obey the per-round compiler T boundary (round 4: 400)
     assert not pallas_ctc_fits(2400, 29, 250)
-    assert pallas_ctc_fwd_fits(2400, 29, 250)
-    # both reject kanji-scale vocab at long T
+    assert not pallas_ctc_fwd_fits(2400, 29, 250)
     assert not pallas_ctc_fwd_fits(1000, 3000, 300)
 
 
