@@ -116,6 +116,35 @@ def test_joint_rescore_keeps_lm_term():
     assert float(rr.scores[0, 0]) > float(rr.scores[0, 1])
 
 
+def test_early_exit_invariant_to_max_decode_length():
+    """The while_loop early exit must make decode results independent of
+    max_decode_length once every hypothesis has emitted EOS: finished beams
+    extend their own EOS at +0 log-prob and history/length updates are gated
+    on was_finished, so the truncated steps provably change nothing."""
+    cfg = _cfg()
+    params, feats, feat_len = _setup(cfg)
+    # bias the output projection toward EOS so hypotheses finish after a
+    # few (varying) steps, well before the longer budget
+    params = dict(params)
+    params["out_proj"] = dict(params["out_proj"])
+    params["out_proj"]["b"] = params["out_proj"]["b"].at[cfg.eos_id].add(2.0)
+
+    rs = attention_beam_search(params, cfg, feats, feat_len, beam_width=3, max_len=6)
+    rl = attention_beam_search(params, cfg, feats, feat_len, beam_width=3, max_len=24)
+    assert np.all(np.asarray(rl.lengths) < 6), "precondition: all beams finish early"
+    np.testing.assert_array_equal(np.asarray(rs.lengths), np.asarray(rl.lengths))
+    np.testing.assert_allclose(np.asarray(rs.scores), np.asarray(rl.scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rs.tokens), np.asarray(rl.tokens[..., :6]))
+
+    gs = greedy_decode(params, cfg, feats, feat_len, max_len=6)
+    gl = greedy_decode(params, cfg, feats, feat_len, max_len=24)
+    ps, pl = np.asarray(gs.predicted_ids), np.asarray(gl.predicted_ids)
+    assert np.all(np.any(ps == cfg.eos_id, axis=1)), "precondition: greedy finishes early"
+    np.testing.assert_array_equal(ps, pl[:, :6])
+    # rows past the exit step keep the EOS fill consumers never read past
+    assert np.all(pl[:, 6:] == cfg.eos_id)
+
+
 def test_beam_eval_nll_matches_greedy_eval_nll():
     """bin/eval.py's "loss" column must mean the same thing (teacher-forced
     per-utterance NLL) for greedy and beam eval steps (VERDICT r2 #9)."""
