@@ -97,9 +97,14 @@ class Dataset:
         self.sub_label_ladder = (
             bucket_ladder(sub_lens, num_label_buckets, multiple=8) if sub_lens else None
         )
-        # upper-bound estimate; with max_frames_per_batch the true per-epoch
-        # count comes from _batch_extents (long batches split into more)
-        self.num_batches = -(-len(self.utterances) // batch_size)
+        if max_frames_per_batch is None:
+            self.num_batches = -(-len(self.utterances) // batch_size)
+        else:
+            # real per-epoch count from the sorted-order extents (exact for
+            # curriculum epochs; post-curriculum block shuffles keep batches
+            # length-homogeneous so the count stays representative)
+            order = np.argsort(self._input_lens, kind="stable")
+            self.num_batches = len(self._batch_extents(order))
 
     def __len__(self):
         return len(self.utterances)
@@ -155,7 +160,17 @@ class Dataset:
                         break
                     if rows <= self.min_batch_rows:
                         break
-                    rows = max(self.min_batch_rows, rows // 2)
+                    # halve, then round DOWN to a multiple of min_batch_rows:
+                    # every emitted row count must stay divisible by
+                    # grad_accum_steps * num_devices (train/accum.py and the
+                    # DP mesh both hard-require it), and batch_size //
+                    # min_batch_rows is not necessarily a power of two
+                    # (e.g. batch_size=24, min_batch_rows=8 -> 12 would break
+                    # accum mid-epoch)
+                    rows = max(
+                        self.min_batch_rows,
+                        (rows // 2) // self.min_batch_rows * self.min_batch_rows,
+                    )
             extents.append((i, rows))
             i += rows
         return extents

@@ -266,14 +266,25 @@ def greedy_decode(
         si, finished = state[0], state[3]
         return jnp.logical_and(si < max_len, ~jnp.all(finished))
 
+    # buffer dtypes follow the step's actual outputs (abstract eval, no
+    # compute): hard-coding f32 would break the while_loop carry the moment a
+    # bf16 decode path emits bf16 logits/alignments (ADVICE r4)
+    carry0 = _init_decoder_carry(cfg, enc_out)
+    token0 = jnp.full((b,), cfg.sos_id, jnp.int32)
+    carry_s, logits_s = jax.eval_shape(
+        lambda c, t: _decoder_step(
+            params, cfg, enc_out, enc_keys, enc_mask, c, t, fused=True
+        ),
+        carry0, token0,
+    )
     state0 = (
         jnp.zeros((), jnp.int32),
-        _init_decoder_carry(cfg, enc_out),
-        jnp.full((b,), cfg.sos_id, jnp.int32),
+        carry0,
+        token0,
         jnp.zeros((b,), bool),
-        jnp.zeros((max_len, b, cfg.vocab)),
+        jnp.zeros((max_len, b, cfg.vocab), logits_s.dtype),
         jnp.full((max_len, b), cfg.eos_id, jnp.int32),
-        jnp.zeros((max_len, b, enc_out.shape[1])),
+        jnp.zeros((max_len, b, enc_out.shape[1]), carry_s[3].dtype),
     )
     (_, _, _, _, logits, preds, aligns) = jax.lax.while_loop(not_done, body, state0)
     return Seq2SeqOutput(

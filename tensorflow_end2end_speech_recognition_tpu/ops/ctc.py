@@ -49,7 +49,7 @@ def pallas_ctc_fwd_fits(t: int, c: int, u: int) -> bool:
     """VMEM guard for the forward-only kernel (no [T,S] alpha buffer, no
     [T,C] grad output — just logits, the transient lp, lpz, and the onehot),
     so it admits larger shapes than the fused loss+grad kernel."""
-    if t > _PALLAS_T_CAP:
+    if t > _PALLAS_T_CAP_FWD:
         return False
     c_pad = -(-c // 128) * 128
     s_pad = -(-(2 * u + 1) // 128) * 128
@@ -66,6 +66,14 @@ def pallas_ctc_fwd_fits(t: int, c: int, u: int) -> bool:
 # (ls100/ls960/joint rows, T'=400 after stacking) passed the same day.
 # Re-probe the boundary each round before raising.
 _PALLAS_T_CAP = 400
+
+# Distinct cap for the FORWARD-ONLY kernel (ADVICE r4): the round-4 crash
+# evidence implicates the fused loss+grad kernel inside multi-kernel fit()
+# programs; the fwd-only kernel runs in eval programs outside that fragile
+# composition and round 3 admitted it to T=2400. Probe it separately each
+# round (benchmarks/compiler_boundary_probe.py --family ctc_fwd) before
+# raising past the conservative shared boundary.
+_PALLAS_T_CAP_FWD = 400
 
 
 def pallas_ctc_fits(t: int, c: int, u: int) -> bool:

@@ -88,6 +88,34 @@ def test_dataset_max_frames_per_batch_guard():
     assert all(b["inputs"].shape[0] == 8 for b in base.batches(0))
 
 
+def test_dataset_reduced_rows_stay_divisible_by_min_batch_rows():
+    """ADVICE r4 (medium): with batch_size=24 and min_batch_rows=8 (e.g.
+    grad_accum_steps=8), naive halving would emit 12-row batches that break
+    accum_value_and_grad's divisibility check mid-epoch. Every reduced row
+    count must be a multiple of min_batch_rows."""
+    corpus = ToyCorpus(num_utts=72, vocab_size=6, seed=4)
+    base = Dataset(corpus.utterances, batch_size=24)
+    spf = 160
+    top_frames = -(-base.wav_ladder[-1] // spf)
+    budget = top_frames * 10  # top bucket fits at most 10 rows -> must drop to 8
+    ds = Dataset(
+        corpus.utterances, batch_size=24, sort_stop_epoch=1,
+        max_frames_per_batch=budget, min_batch_rows=8, samples_per_frame=spf,
+    )
+    seen, row_counts = [], set()
+    for b in ds.batches(0):
+        rows = b["inputs"].shape[0]
+        assert rows % 8 == 0, rows
+        row_counts.add(rows)
+        seen += [n for n in b["names"] if n is not None]
+    assert 8 in row_counts, "budget was chosen to force a reduction"
+    assert sorted(seen) == sorted(u.name for u in corpus.utterances)
+    # num_batches reflects the real split count (ADVICE r4 low: it used to
+    # be a stale undercount once long batches split)
+    assert ds.num_batches == len(list(ds.batches(0)))
+    assert base.num_batches == -(-72 // 24)
+
+
 def test_char_tokenizer_roundtrip():
     tok = CharTokenizer()
     ids = tok.encode_text("hello world")
