@@ -134,7 +134,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--out", default="/tmp/config_sweep")
     ap.add_argument("--configs", nargs="*", default=None)
-    ap.add_argument("--profile", default=None, choices=["easy", "hard"],
+    ap.add_argument("--profile", default=None, choices=["easy", "hard", "harder"],
                     help="override every config's toy_profile")
     args = ap.parse_args()
     setup()

@@ -182,7 +182,10 @@ class ExperimentConfig:
     # confusable minimal-pair units, coarticulation, speaker/channel/rate
     # variation, additive noise, word-level transcripts (data/hard_corpus.py;
     # the easy corpus saturated at err 0.0000 by round 3 and can no longer
-    # rank models). For "hard", toy_min_units/toy_max_units count WORDS.
+    # rank models). "harder": the headroom tier — confusability 0.05,
+    # 32 speakers, 3 dB SNR floor (train/loop.py) — for when the top
+    # family closes in on 0 under "hard" (VERDICT r4 #6). For "hard"/
+    # "harder", toy_min_units/toy_max_units count WORDS.
     toy_profile: str = "easy"
     toy_num_utts: int = 128
     toy_min_units: int = 3

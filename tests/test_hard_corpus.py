@@ -86,6 +86,37 @@ def test_fit_hard_profile_end_to_end(tmp_path):
     assert np.isfinite(summary["train_loss"])
 
 
+def test_harder_profile_tightens_pairs_and_speakers():
+    """VERDICT r4 #6 headroom tier: ``toy_profile: harder`` must produce a
+    DIFFERENT corpus (tighter F2 gap, more speakers) through the fit()
+    plumbing, not just accept the string."""
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import (
+        build_corpus_splits,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    kw = dict(label_type="character", toy_num_utts=40, toy_min_units=1,
+              toy_max_units=2)
+    hard = ExperimentConfig(toy_profile="hard", **kw)
+    harder = ExperimentConfig(toy_profile="harder", **kw)
+    tr_h, _, _, _ = build_corpus_splits(hard)
+    tr_hh, _, _, _ = build_corpus_splits(harder)
+    # different corpus (the speaker-inventory size shifts the RNG stream)
+    assert not np.array_equal(tr_h[0].wav, tr_hh[0].wav)
+    # the harder tier draws from a 32-speaker inventory (hard: 16)
+    spk = {u.speaker for u in tr_hh}
+    assert any(int(s[3:]) >= 16 for s in spk)
+    # direct corpus check: the within-pair F2 ratio halves
+    c_hard = HardCorpus(label_type="character", num_utts=1, seed=0)
+    c_harder = HardCorpus(label_type="character", num_utts=1, seed=0,
+                          confusability=0.05)
+    r_hard = c_hard._f2[1] / c_hard._f2[0]
+    r_harder = c_harder._f2[1] / c_harder._f2[0]
+    assert abs(r_hard - 1.10) < 1e-9 and abs(r_harder - 1.05) < 1e-9
+
+
 def test_fit_rejects_unknown_profile(tmp_path):
     from tensorflow_end2end_speech_recognition_tpu.train.loop import (
         build_corpus_splits,
