@@ -317,10 +317,10 @@ def apply_encoder(
     lengths: jnp.ndarray,  # [B]
     train: bool = False,
     rng: jax.Array | None = None,
-    pallas_t_cap: int = 400,  # input length beyond which the LSTM stack
-    # rides lax.scan — the measured-good multi-kernel boundary on the
-    # round-4 toolchain (see ops/pallas/lstm_kernel.pallas_fits docstring;
-    # T=502 multi-layer programs hard-crashed the TPU worker)
+    pallas_t_cap: int = 512,  # input length beyond which the LSTM stack
+    # rides lax.scan — the measured-good multi-kernel boundary from the
+    # round-5 preflight (benchmarks/compiler_boundary_probe.py; see
+    # ops/pallas/lstm_kernel.pallas_fits docstring for the history)
 ) -> EncoderOutput:
     spec = cfg.spec()
     drop_keys = (

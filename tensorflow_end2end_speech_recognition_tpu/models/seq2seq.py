@@ -136,21 +136,18 @@ def _init_decoder_carry(cfg: Seq2SeqConfig, enc_out):
 
 
 def encode(params, cfg: Seq2SeqConfig, feats, feat_len, train=False, rng=None):
-    # pallas_t_cap=400: the attention-decoder backward composed with Pallas
+    # pallas_t_cap=512: the attention-decoder backward composed with Pallas
     # encoder kernels is the remote compiler's fragile class (CLAUDE.md
-    # composition limits). Round 3 measured the composition GOOD at T=400
-    # (joint BPE flagship: 30.9 ms/step, 1036 utts/s, vs 35.7 scan-encoder)
-    # after the bidi-backward kt=2 fix, and raised the cap to 800 — but in
-    # round 4 the hard-corpus timit_attention run (3-layer pyramidal BLSTM,
-    # T=502) hard-crashed the TPU worker mid-train, so the boundary for
-    # THIS composition is somewhere in (400, 502]. Cap at the measured-good
-    # 400: the flagship keeps its Pallas path, longer inputs take the
-    # whole-stack scan (which compiles and runs at every tested shape).
-    # (The same day, plain multi-layer CTC programs at T=502 crashed too,
-    # so apply_encoder's default cap is now also 400 — kept explicit here
-    # because the decoder-composed boundary can move independently.)
+    # composition limits) and its boundary MOVES with the remote toolchain:
+    # round 3 measured T=400 good / raised to 800; round 4 saw T=502
+    # hard-crash the TPU worker and re-capped to 400; the round-5 preflight
+    # (benchmarks/compiler_boundary_probe.py, BASELINE.md boundary table)
+    # measured every composition family — including the round-4 fit()
+    # crasher itself — green through T=512, so the cap follows. Longer
+    # inputs take the whole-stack scan (compiles and runs at every tested
+    # shape). Never raise this on faith: run the preflight first.
     enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng,
-                        pallas_t_cap=400)
+                        pallas_t_cap=512)
     ctc_logits = ctc_len = None
     if cfg.is_joint:
         ctc_logits = (

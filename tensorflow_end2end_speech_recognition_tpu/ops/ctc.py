@@ -57,23 +57,21 @@ def pallas_ctc_fwd_fits(t: int, c: int, u: int) -> bool:
     return vmem <= 12 * 1024 * 1024
 
 
-# Round-4 toolchain boundary, shared with the LSTM kernel (ops/pallas/
-# lstm_kernel.pallas_fits): the hard-corpus timit_ctc_blstm row crashed
-# the TPU WORKER mid-train at T=500 with BOTH encoder routings (Pallas
-# LSTM and lax.scan), while timit_attention — the same Pallas LSTM
-# encoder at T=502 but NO CTC head — passed, isolating the fused CTC
-# kernel at T~500 as the crasher. Every T<=400 CTC-kernel program
-# (ls100/ls960/joint rows, T'=400 after stacking) passed the same day.
-# Re-probe the boundary each round before raising.
-_PALLAS_T_CAP = 400
+# Per-round toolchain boundary, shared with the LSTM kernel (ops/pallas/
+# lstm_kernel.pallas_fits). History: round 4 isolated the fused CTC
+# kernel at T~500 as a TPU-worker crasher inside fit() programs and
+# capped at the measured-good 400; the round-5 preflight
+# (benchmarks/compiler_boundary_probe.py) re-probed the ctc and full
+# train-step ladders — including the exact round-4 timit_ctc_blstm
+# fit() crasher — and measured green through T=512, so the cap is 512
+# this round (BASELINE.md boundary table). Re-probe before raising.
+_PALLAS_T_CAP = 512
 
-# Distinct cap for the FORWARD-ONLY kernel (ADVICE r4): the round-4 crash
-# evidence implicates the fused loss+grad kernel inside multi-kernel fit()
-# programs; the fwd-only kernel runs in eval programs outside that fragile
-# composition and round 3 admitted it to T=2400. Probe it separately each
-# round (benchmarks/compiler_boundary_probe.py --family ctc_fwd) before
-# raising past the conservative shared boundary.
-_PALLAS_T_CAP_FWD = 400
+# Distinct cap for the FORWARD-ONLY kernel (ADVICE r4): it runs in eval
+# programs outside the fragile multi-kernel train composition. The
+# round-5 preflight probed it separately (--families ctc_fwd) and
+# measured T=400..2400 all green, restoring the round-3 admission.
+_PALLAS_T_CAP_FWD = 2400
 
 
 def pallas_ctc_fits(t: int, c: int, u: int) -> bool:

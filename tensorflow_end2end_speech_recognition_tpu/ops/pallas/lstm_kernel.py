@@ -193,16 +193,17 @@ def pallas_fits(b: int, h: int, t: int | None = None) -> bool:
 
     The sequence-length cap is empirical and has MOVED between rounds as
     the remote toolchain changed: round 3 measured 2-layer pyramidal grad
-    OK at T=800 (crash at T=1198) and set the cap there; in round 4 BOTH
-    hard-corpus TIMIT rows (2-layer BLSTM CTC and 3-layer pyramidal +
-    attention decoder, per-layer T=502) hard-crashed the TPU WORKER
-    mid-train, while every T=400 composition (5-layer joint flagship,
-    stacked LS rows) passed the same day — today's boundary is in
-    (400, 502]. Cap at the measured-good 400; longer sequences ride the
-    lax.scan path (0.77x the kernel's rate), which compiles and runs at
-    every tested shape.
+    OK at T=800 (crash at T=1198) and set the cap there; round 4 saw BOTH
+    hard-corpus TIMIT rows (per-layer T=502) hard-crash the TPU WORKER
+    mid-train and re-capped to 400; the round-5 preflight
+    (benchmarks/compiler_boundary_probe.py) measured the lstm, ctc, and
+    full train-step composition ladders — plus the round-4 fit() crasher
+    itself — green through T=512, so the cap is 512 this round
+    (BASELINE.md boundary table). Longer sequences ride the lax.scan path
+    (0.77x the kernel's rate), which compiles and runs at every tested
+    shape. Never raise this on faith: run the preflight first.
     """
-    if t is not None and t > 400:
+    if t is not None and t > 512:
         return False
     return b * h <= 4 * _ANCHOR_ROWS and h <= 512
 

@@ -53,11 +53,13 @@ def test_pallas_repeated_labels_interpret():
 def test_pallas_ctc_vmem_fit_guard():
     from tensorflow_end2end_speech_recognition_tpu.ops.ctc import pallas_ctc_fits
 
-    # flagship shapes comfortably fit
+    # flagship shapes comfortably fit; hard-corpus TIMIT T~500 is inside
+    # the round-5 preflight boundary (512)
     assert pallas_ctc_fits(400, 29, 40)
-    # beyond the per-round compiler T boundary -> scan fallback (round 4:
-    # T=500 hard-crashed the TPU worker, T=400 good; see ops/ctc.py)
-    assert not pallas_ctc_fits(500, 29, 48)
+    assert pallas_ctc_fits(500, 29, 48)
+    # beyond the per-round compiler T boundary -> scan fallback (round-5
+    # preflight measured T=512 good; see ops/ctc.py)
+    assert not pallas_ctc_fits(513, 29, 48)
     assert not pallas_ctc_fits(1000, 29, 200)
     # CSJ-kanji-scale vocab at long T overflows -> scan fallback
     assert not pallas_ctc_fits(1000, 3000, 100)
@@ -102,9 +104,12 @@ def test_pallas_fwd_fits_admits_more_than_fused():
     )
 
     assert pallas_ctc_fwd_fits(400, 29, 40)
-    # both kernels obey the per-round compiler T boundary (round 4: 400)
+    # the fused kernel obeys the train-composition boundary (512); the
+    # fwd-only kernel has its own cap (2400, probed separately each round
+    # per ADVICE r4 — round-5 preflight ladder green through 2400)
     assert not pallas_ctc_fits(2400, 29, 250)
-    assert not pallas_ctc_fwd_fits(2400, 29, 250)
+    assert pallas_ctc_fwd_fits(2400, 29, 250)
+    assert not pallas_ctc_fwd_fits(2401, 29, 250)
     assert not pallas_ctc_fwd_fits(1000, 3000, 300)
 
 

@@ -100,7 +100,8 @@ def test_block_scaling_and_vmem_fit_guard():
     assert not pallas_fits(32, 1024)  # [H,4H] weights alone too big
     # sequence-length cap: multi-layer programs combining kernels past the
     # per-round measured boundary crash the remote compiler/worker
-    # (round 4: T=502 crashed, T=400 good — see pallas_fits docstring)
+    # (round-5 preflight: T=512 good — see pallas_fits docstring)
     assert pallas_fits(32, 512, t=400)
-    assert not pallas_fits(32, 512, t=502)
+    assert pallas_fits(32, 512, t=512)
+    assert not pallas_fits(32, 512, t=513)
     assert not pallas_fits(32, 512, t=1198)
