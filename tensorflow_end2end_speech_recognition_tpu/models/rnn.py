@@ -37,8 +37,11 @@ class RNNSpec(NamedTuple):
     use_peephole: bool = False
     clip_activation: float | None = None  # cell-state clip (reference LSTMCell)
     forget_bias: float = 1.0
-    compute_dtype: str = "float32"  # "bfloat16" runs gate matmuls on the MXU
-    # at 2x rate with f32 accumulation; carries/outputs stay f32
+    compute_dtype: str = "float32"  # "bfloat16": scan path runs gate matmuls
+    # on the MXU at 2x rate with f32 accumulation (carries/outputs f32);
+    # Pallas path streams xproj/residuals/cotangents in bf16 (halved HBM
+    # traffic — the measured binding cost at B>=64) while carried state and
+    # ALL gate math stay f32 in VMEM
     impl: str = "auto"  # "auto" | "scan" | "pallas": "pallas" = VMEM-resident
     # layer kernel (ops/pallas/lstm_kernel.py) for the plain-LSTM fast path;
     # "auto" picks it on TPU when eligible
@@ -50,8 +53,12 @@ class RNNSpec(NamedTuple):
             and not self.use_peephole
             and not self.num_proj
             and not self.clip_activation
-            and self.compute_dtype == "float32"
+            and self.compute_dtype in ("float32", "bfloat16")
         )
+
+    @property
+    def stream_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @property
     def out_dim(self) -> int:
@@ -176,7 +183,7 @@ def rnn_scan(
     if spec.impl == "pallas" and not spec.pallas_eligible:
         raise ValueError(
             "impl='pallas' requires the plain-LSTM fast path (no peephole/"
-            "num_proj/cell-clip/GRU/bfloat16); use impl='auto' or 'scan'"
+            "num_proj/cell-clip/GRU); use impl='auto' or 'scan'"
         )
     use_pallas = initial_state is None and (
         spec.impl == "pallas"
@@ -189,13 +196,15 @@ def rnn_scan(
             use_pallas = False  # scoped VMEM won't fit — fall through to scan
     if use_pallas and spec.pallas_eligible:
         ys = lstm_layer_pallas(
-            xproj, params["wh"], mask[..., 0].astype(jnp.float32), spec.forget_bias
+            xproj.astype(spec.stream_dtype), params["wh"],
+            mask[..., 0].astype(jnp.float32), spec.forget_bias,
         )
         # final h = output at each row's last valid step (zeros for empty
         # rows); the kernel does not materialize the final cell state — use
         # impl="scan" if a caller ever needs it (none do today)
         last = jnp.clip(lengths - 1, 0, t - 1)
         h_fin = jnp.take_along_axis(ys, last[:, None, None], axis=1)[:, 0]
+        h_fin = h_fin.astype(jnp.float32)  # stream dtype may be bf16
         if reverse:
             ys = _flip_valid(ys, lengths)
         return ys, (h_fin, None)
@@ -255,7 +264,7 @@ def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
     if spec.impl == "pallas" and not spec.pallas_eligible:
         raise ValueError(
             "impl='pallas' requires the plain-LSTM fast path (no peephole/"
-            "num_proj/cell-clip/GRU/bfloat16); use impl='auto' or 'scan'"
+            "num_proj/cell-clip/GRU); use impl='auto' or 'scan'"
         )
     use_pallas = spec.impl == "pallas" or (
         spec.impl == "auto" and spec.pallas_eligible and jax.default_backend() == "tpu"
@@ -271,9 +280,19 @@ def bidirectional_scan(params, spec: RNNSpec, xs, lengths):
         from ..ops.pallas.lstm_kernel import lstm_bidi_pallas
 
         b, t, _ = xs.shape
-        xproj_f = jnp.matmul(xs, params["fwd"]["wx"], preferred_element_type=jnp.float32) + params["fwd"]["b"]
-        xproj_b = jnp.matmul(xs, params["bwd"]["wx"], preferred_element_type=jnp.float32) + params["bwd"]["b"]
-        xproj_b = _flip_valid(xproj_b, lengths)
+        sdt = spec.stream_dtype
+        if spec.compute_dtype == "bfloat16":
+            # bf16 input projections: 2x MXU rate on the hoisted matmul AND
+            # halved kernel stream traffic (xproj in, ys/cs residuals,
+            # dxproj out); gate math inside the kernel stays f32
+            mm = lambda p: jnp.matmul(
+                xs.astype(sdt), p["wx"].astype(sdt),
+                preferred_element_type=jnp.float32,
+            ) + p["b"]
+        else:
+            mm = lambda p: jnp.matmul(xs, p["wx"], preferred_element_type=jnp.float32) + p["b"]
+        xproj_f = mm(params["fwd"]).astype(sdt)
+        xproj_b = _flip_valid(mm(params["bwd"]).astype(sdt), lengths)
         mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(jnp.float32)
         ys_f, ys_b = lstm_bidi_pallas(
             xproj_f, xproj_b, params["fwd"]["wh"], params["bwd"]["wh"],

@@ -65,7 +65,9 @@ def _fwd_kernel(forget_bias, xproj_ref, wh_ref, mask_ref, ys_ref, cs_ref, h_scr,
     # same way unroll=8 does for the lax.scan path
     for k in range(xproj_ref.shape[0]):
         h_prev, c_prev = h_scr[:], c_scr[:]
-        gates = xproj_ref[k] + jnp.dot(
+        # xproj may stream in bf16 (stream dtype = xproj dtype); carried
+        # state and gate math stay f32 — only the HBM streams round
+        gates = xproj_ref[k].astype(jnp.float32) + jnp.dot(
             h_prev, wh_ref[:], preferred_element_type=jnp.float32
         )
         i, f, g, o = _gates_fwd(gates, hdim, forget_bias)
@@ -76,8 +78,8 @@ def _fwd_kernel(forget_bias, xproj_ref, wh_ref, mask_ref, ys_ref, cs_ref, h_scr,
         c = jnp.where(m > 0, c, c_prev)
         h_scr[:] = h
         c_scr[:] = c
-        ys_ref[k] = h * m
-        cs_ref[k] = c
+        ys_ref[k] = (h * m).astype(ys_ref.dtype)
+        cs_ref[k] = c.astype(cs_ref.dtype)
 
 
 def _bwd_kernel(
@@ -105,18 +107,19 @@ def _bwd_kernel(
 
     hdim = dh_scr.shape[-1]
     for k in reversed(range(xproj_ref.shape[0])):
-        h_prev = ys_prev_ref[k]
-        c_prev = cs_prev_ref[k]
-        c_t = cs_ref[k]
+        # streamed residuals may be bf16 (stream dtype); compute in f32
+        h_prev = ys_prev_ref[k].astype(jnp.float32)
+        c_prev = cs_prev_ref[k].astype(jnp.float32)
+        c_t = cs_ref[k].astype(jnp.float32)
         m = mask_ref[k] > 0  # [B, 1]
 
         # recompute gate activations (the remat trade)
-        gates = xproj_ref[k] + jnp.dot(
+        gates = xproj_ref[k].astype(jnp.float32) + jnp.dot(
             h_prev, wh_ref[:], preferred_element_type=jnp.float32
         )
         i, f, g, o = _gates_fwd(gates, hdim, forget_bias)
 
-        dh_total = gys_ref[k] * m + dh_scr[:]
+        dh_total = gys_ref[k].astype(jnp.float32) * m + dh_scr[:]
         tc = jnp.tanh(c_t)
         do = dh_total * tc
         dc_total = dc_scr[:] + dh_total * o * (1.0 - tc * tc)
@@ -134,7 +137,7 @@ def _bwd_kernel(
             axis=-1,
         )
         dgates = jnp.where(m, dgates, 0.0)
-        dxproj_ref[k] = dgates
+        dxproj_ref[k] = dgates.astype(dxproj_ref.dtype)
         dh_prev = jax.lax.dot_general(
             dgates, wh_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -218,6 +221,8 @@ def _pad_t(x, t_pad):
 def _fwd_call(xproj_tm, wh, mask_tm, forget_bias: float):
     t, b, g4 = xproj_tm.shape
     h = g4 // 4
+    sdt = xproj_tm.dtype  # stream dtype (bf16 streams under compute_dtype)
+    isz = jnp.dtype(sdt).itemsize
     kt = _scale_kt(_BLOCK_T, t, b, h)
     t_pad = _common_t_pad(t, b, h, (_BLOCK_T, _BLOCK_T_BWD))
     nb = t_pad // kt
@@ -239,8 +244,8 @@ def _fwd_call(xproj_tm, wh, mask_tm, forget_bias: float):
             pl.BlockSpec((kt, b, h), step, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b, h), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b, h), sdt),
+            jax.ShapeDtypeStruct((t_pad, b, h), sdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
@@ -248,7 +253,7 @@ def _fwd_call(xproj_tm, wh, mask_tm, forget_bias: float):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * g4 * t_pad + 12 * b * g4 * t_pad,
-            bytes_accessed=(xproj_tm.size + 2 * t_pad * b * h + h * g4) * 4,
+            bytes_accessed=(xproj_tm.size + 2 * t_pad * b * h) * isz + h * g4 * 4,
             transcendentals=4 * b * g4 * t_pad,
         ),
         interpret=_interpret(),
@@ -264,6 +269,9 @@ def _shift_one(x):
 def _bwd_call(xproj_tm, wh, mask_tm, ys, cs, gys_tm, forget_bias: float):
     t, b, g4 = xproj_tm.shape
     h = g4 // 4
+    sdt = xproj_tm.dtype
+    isz = jnp.dtype(sdt).itemsize
+    gys_tm = gys_tm.astype(sdt)  # cotangent streams at the stream dtype
     kt = _scale_kt(_BLOCK_T_BWD, t, b, h)
     t_pad = _common_t_pad(t, b, h, (_BLOCK_T, _BLOCK_T_BWD))
     nb = t_pad // kt
@@ -293,14 +301,14 @@ def _bwd_call(xproj_tm, wh, mask_tm, ys, cs, gys_tm, forget_bias: float):
             tm_spec(h),  # g_ys
         ],
         out_specs=tm_spec(g4),
-        out_shape=jax.ShapeDtypeStruct((t_pad, b, g4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b, g4), sdt),
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((b, h), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * g4 * t_pad + 30 * b * g4 * t_pad,
-            bytes_accessed=(2 * xproj_tm.size + 6 * t_pad * b * h + h * g4) * 4,
+            bytes_accessed=(2 * xproj_tm.size + 6 * t_pad * b * h) * isz + h * g4 * 4,
             transcendentals=5 * b * g4 * t_pad,
         ),
         interpret=_interpret(),
@@ -374,11 +382,14 @@ def _bidi_fwd_kernel(
     hdim = hf_scr.shape[-1]
     for k in range(xf_ref.shape[0]):
         m = mask_ref[k]
-        # issue both directions' matmuls back-to-back: independent chains
-        gates_f = xf_ref[k] + jnp.dot(
+        # issue both directions' matmuls back-to-back: independent chains.
+        # Streamed xproj may be bf16 (stream_dtype): the add with the f32
+        # dot upcasts; the carried state and all gate math stay f32, so the
+        # recurrence itself is full-precision — only the HBM streams round.
+        gates_f = xf_ref[k].astype(jnp.float32) + jnp.dot(
             hf_scr[:], whf_ref[:], preferred_element_type=jnp.float32
         )
-        gates_b = xb_ref[k] + jnp.dot(
+        gates_b = xb_ref[k].astype(jnp.float32) + jnp.dot(
             hb_scr[:], whb_ref[:], preferred_element_type=jnp.float32
         )
         for gates, h_scr, c_scr, ys_ref, cs_ref in (
@@ -393,8 +404,8 @@ def _bidi_fwd_kernel(
             c = jnp.where(m > 0, c, c_prev)
             h_scr[:] = h
             c_scr[:] = c
-            ys_ref[k] = h * m
-            cs_ref[k] = c
+            ys_ref[k] = (h * m).astype(ys_ref.dtype)
+            cs_ref[k] = c.astype(cs_ref.dtype)
 
 
 def _bidi_bwd_kernel(
@@ -426,14 +437,15 @@ def _bidi_bwd_kernel(
             (xb_ref, whb_ref, ysb_prev_ref, csb_ref, csb_prev_ref, gysb_ref,
              dxb_ref, dhb_scr, dcb_scr),
         ):
-            h_prev = ysp_ref[k]
-            c_prev = csp_ref[k]
-            gates = x_ref[k] + jnp.dot(
+            # streamed residuals may be bf16 (stream_dtype); compute in f32
+            h_prev = ysp_ref[k].astype(jnp.float32)
+            c_prev = csp_ref[k].astype(jnp.float32)
+            gates = x_ref[k].astype(jnp.float32) + jnp.dot(
                 h_prev, wh_ref[:], preferred_element_type=jnp.float32
             )
             i, f, g, o = _gates_fwd(gates, hdim, forget_bias)
-            dh_total = gys_ref[k] * m + dh_scr[:]
-            tc = jnp.tanh(cs_ref[k])
+            dh_total = gys_ref[k].astype(jnp.float32) * m + dh_scr[:]
+            tc = jnp.tanh(cs_ref[k].astype(jnp.float32))
             do = dh_total * tc
             dc_total = dc_scr[:] + dh_total * o * (1.0 - tc * tc)
             dgates = jnp.concatenate(
@@ -446,7 +458,7 @@ def _bidi_bwd_kernel(
                 axis=-1,
             )
             dgates = jnp.where(m, dgates, 0.0)
-            dx_ref[k] = dgates
+            dx_ref[k] = dgates.astype(dx_ref.dtype)
             dh_prev = jax.lax.dot_general(
                 dgates, wh_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -472,6 +484,8 @@ _BLOCK_T_BIDI_BWD = 2
 def _bidi_fwd_call(xf, xb, whf, whb, mask_tm, forget_bias: float):
     t, b, g4 = xf.shape
     h = g4 // 4
+    sdt = xf.dtype  # stream dtype (bf16 streams under compute_dtype)
+    isz = jnp.dtype(sdt).itemsize
     kt = _scale_kt(_BLOCK_T_BIDI, t, b, h)
     t_pad = _common_t_pad(t, b, h, (_BLOCK_T_BIDI, _BLOCK_T_BIDI_BWD))
     nb = t_pad // kt
@@ -486,11 +500,11 @@ def _bidi_fwd_call(xf, xb, whf, whb, mask_tm, forget_bias: float):
         grid=(nb,),
         in_specs=[tm(g4), tm(g4), wspec, wspec, tm(1)],
         out_specs=[tm(h)] * 4,
-        out_shape=[jax.ShapeDtypeStruct((t_pad, b, h), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((t_pad, b, h), sdt)] * 4,
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * g4 * t_pad + 24 * b * g4 * t_pad,
-            bytes_accessed=(2 * xf.size + 4 * t_pad * b * h + 2 * h * g4) * 4,
+            bytes_accessed=(2 * xf.size + 4 * t_pad * b * h) * isz + 2 * h * g4 * 4,
             transcendentals=8 * b * g4 * t_pad,
         ),
         interpret=_interpret(),
@@ -503,6 +517,9 @@ def _bidi_bwd_call(xf, xb, whf, whb, mask_tm, ysf, ysb, csf, csb, gysf, gysb,
                    forget_bias: float):
     t, b, g4 = xf.shape
     h = g4 // 4
+    sdt = xf.dtype
+    isz = jnp.dtype(sdt).itemsize
+    gysf, gysb = gysf.astype(sdt), gysb.astype(sdt)
     kt = _scale_kt(_BLOCK_T_BIDI_BWD, t, b, h)
     t_pad = _common_t_pad(t, b, h, (_BLOCK_T_BIDI, _BLOCK_T_BIDI_BWD))
     nb = t_pad // kt
@@ -525,13 +542,13 @@ def _bidi_bwd_call(xf, xb, whf, whb, mask_tm, ysf, ysb, csf, csb, gysf, gysb,
         in_specs=[tm(g4), tm(g4), wspec, wspec, tm(1)] + [tm(h)] * 8,
         out_specs=[tm(g4), tm(g4)],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b, g4), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, b, g4), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, b, g4), sdt),
+            jax.ShapeDtypeStruct((t_pad, b, g4), sdt),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)] * 4,
         cost_estimate=pl.CostEstimate(
             flops=8 * b * h * g4 * t_pad + 60 * b * g4 * t_pad,
-            bytes_accessed=(4 * xf.size + 12 * t_pad * b * h + 2 * h * g4) * 4,
+            bytes_accessed=(4 * xf.size + 12 * t_pad * b * h) * isz + 2 * h * g4 * 4,
             transcendentals=10 * b * g4 * t_pad,
         ),
         interpret=_interpret(),

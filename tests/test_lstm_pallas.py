@@ -105,3 +105,63 @@ def test_block_scaling_and_vmem_fit_guard():
     assert pallas_fits(32, 512, t=512)
     assert not pallas_fits(32, 512, t=513)
     assert not pallas_fits(32, 512, t=1198)
+
+
+def test_bf16_streams_match_f32(
+):
+    """compute_dtype='bfloat16' Pallas path: bf16 HBM streams, f32 gate math.
+
+    The carried recurrence stays full f32 in VMEM — only the xproj input,
+    ys/cs residuals, and dxproj cotangent streams round to bf16 — so values
+    and grads track the f32 scan reference within bf16 rounding tolerance.
+    """
+    b, t, d, h = 3, 9, 4, 8
+    rng = np.random.RandomState(7)
+    xs = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    lengths = jnp.asarray([t, 5, 2])
+    spec_ref = RNNSpec(cell="lstm", num_units=h, impl="scan")
+    spec_bf = RNNSpec(cell="lstm", num_units=h, impl="pallas",
+                      compute_dtype="bfloat16")
+    assert spec_bf.pallas_eligible  # round-5: bf16 is Pallas-eligible now
+    params = init_bidirectional(jax.random.PRNGKey(8), spec_ref, d)
+
+    def loss(params, xs, spec):
+        ys = bidirectional_scan(params, spec, xs, lengths)
+        w = jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) / ys.size
+        return jnp.sum(ys.astype(jnp.float32) * w)
+
+    y_ref = bidirectional_scan(params, spec_ref, xs, lengths)
+    y_bf = bidirectional_scan(params, spec_bf, xs, lengths)
+    assert y_bf.dtype == jnp.bfloat16  # streams (and output) are bf16
+    np.testing.assert_allclose(
+        np.asarray(y_bf, dtype=np.float32), np.asarray(y_ref),
+        rtol=2e-2, atol=2e-2,
+    )
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, xs, spec_ref)
+    g_bf = jax.grad(loss, argnums=(0, 1))(params, xs, spec_bf)
+    for a, bb in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_bf)):
+        np.testing.assert_allclose(
+            np.asarray(bb, dtype=np.float32), np.asarray(a, dtype=np.float32),
+            rtol=5e-2, atol=3e-2,
+        )
+
+
+def test_bf16_streams_match_f32_unidirectional():
+    b, t, d, h = 3, 8, 4, 8
+    rng = np.random.RandomState(9)
+    xs = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    lengths = jnp.asarray([t, 6, 3])
+    spec_ref = RNNSpec(cell="lstm", num_units=h, impl="scan")
+    spec_bf = RNNSpec(cell="lstm", num_units=h, impl="pallas",
+                      compute_dtype="bfloat16")
+    params = init_rnn_params(jax.random.PRNGKey(10), spec_ref, d)
+    ys_ref, (h_ref, _) = rnn_scan(params, spec_ref, xs, lengths)
+    ys_bf, (h_bf, _) = rnn_scan(params, spec_bf, xs, lengths)
+    assert ys_bf.dtype == jnp.bfloat16 and h_bf.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(ys_bf, dtype=np.float32), np.asarray(ys_ref),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_bf), np.asarray(h_ref), rtol=2e-2, atol=2e-2,
+    )
