@@ -15,6 +15,15 @@ the B>=64 throughput plateau at 703-710 utts/s/chip vs 688-698 at B=32
 (BASELINE.md round 4), so the headline quotes the saturated rate. The
 TF1-CPU denominator is per-utterance and compute-bound, so it is batch-
 insensitive on its side.
+
+compute_dtype is bfloat16 (round 5): the B>=64 regime is bound by the
+recurrent kernels' HBM streams, not matmul latency (round-2/3 ablations),
+and the Pallas LSTM path now streams xproj/ys/cs/dxproj at bf16 while
+keeping carried h/c state and all gate math f32 in VMEM — measured
+706.0 -> 903.4 utts/s/chip at B=128 (benchmarks/bf16_stream_probe.py,
+BASELINE.md round 5). Numerics: the bf16 path is pinned to the f32 scan
+within rounding tolerance (tests/test_lstm_pallas.py) and the converged
+hard-corpus quality arm trains to f32-parity error (BASELINE.md round 5).
 """
 
 from __future__ import annotations
@@ -46,7 +55,8 @@ def main():
     batch, seconds, sr = 128, 12, 16000
     task = CTCTaskConfig(
         model=CTCConfig(
-            encoder=EncoderConfig(encoder_type="blstm", num_units=512, num_layers=5),
+            encoder=EncoderConfig(encoder_type="blstm", num_units=512, num_layers=5,
+                                  compute_dtype="bfloat16"),
             num_classes=28,
         ),
         frontend=FrontendConfig(use_energy=False),  # 40 mel x3 deltas = 120 (LS shape)
