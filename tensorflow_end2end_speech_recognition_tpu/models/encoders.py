@@ -317,10 +317,10 @@ def apply_encoder(
     lengths: jnp.ndarray,  # [B]
     train: bool = False,
     rng: jax.Array | None = None,
-    pallas_t_cap: int = 512,  # input length beyond which the LSTM stack
-    # rides lax.scan — the measured-good multi-kernel boundary from the
-    # round-5 preflight (benchmarks/compiler_boundary_probe.py; see
-    # ops/pallas/lstm_kernel.pallas_fits docstring for the history)
+    pallas_t_cap: int = 400,  # input length beyond which the LSTM stack
+    # rides lax.scan — the only multi-kernel boundary that has held across
+    # rounds 4-5 (the round-5 preflight's 512 pass was followed by a T=502
+    # fit() worker crash the same day; see lstm_kernel.pallas_fits)
 ) -> EncoderOutput:
     spec = cfg.spec()
     drop_keys = (

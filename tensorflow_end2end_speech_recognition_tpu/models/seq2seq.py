@@ -136,18 +136,18 @@ def _init_decoder_carry(cfg: Seq2SeqConfig, enc_out):
 
 
 def encode(params, cfg: Seq2SeqConfig, feats, feat_len, train=False, rng=None):
-    # pallas_t_cap=512: the attention-decoder backward composed with Pallas
+    # pallas_t_cap=400: the attention-decoder backward composed with Pallas
     # encoder kernels is the remote compiler's fragile class (CLAUDE.md
     # composition limits) and its boundary MOVES with the remote toolchain:
     # round 3 measured T=400 good / raised to 800; round 4 saw T=502
     # hard-crash the TPU worker and re-capped to 400; the round-5 preflight
-    # (benchmarks/compiler_boundary_probe.py, BASELINE.md boundary table)
-    # measured every composition family — including the round-4 fit()
-    # crasher itself — green through T=512, so the cap follows. Longer
-    # inputs take the whole-stack scan (compiles and runs at every tested
-    # shape). Never raise this on faith: run the preflight first.
+    # measured every composition family green through T=512, the caps were
+    # raised — and the first real T=502 fit() of the round crashed the
+    # worker the same day. The preflight is a point sample of a flaky
+    # boundary; 400 is the only value that has held across rounds 4-5.
+    # Longer inputs take the whole-stack scan.
     enc = apply_encoder(params["encoder"], cfg.encoder, feats, feat_len, train, rng,
-                        pallas_t_cap=512)
+                        pallas_t_cap=400)
     ctc_logits = ctc_len = None
     if cfg.is_joint:
         ctc_logits = (

@@ -60,12 +60,13 @@ def pallas_ctc_fwd_fits(t: int, c: int, u: int) -> bool:
 # Per-round toolchain boundary, shared with the LSTM kernel (ops/pallas/
 # lstm_kernel.pallas_fits). History: round 4 isolated the fused CTC
 # kernel at T~500 as a TPU-worker crasher inside fit() programs and
-# capped at the measured-good 400; the round-5 preflight
-# (benchmarks/compiler_boundary_probe.py) re-probed the ctc and full
-# train-step ladders — including the exact round-4 timit_ctc_blstm
-# fit() crasher — and measured green through T=512, so the cap is 512
-# this round (BASELINE.md boundary table). Re-probe before raising.
-_PALLAS_T_CAP = 512
+# capped at the measured-good 400; the round-5 preflight re-probed the
+# ctc and full train-step ladders — including the exact round-4
+# timit_ctc_blstm fit() crasher — green through T=512 and the cap was
+# raised... and the first real T=502 fit() of the round crashed the
+# worker the same day. The preflight is a point sample of a flaky
+# boundary; 400 is the only value that has held across rounds 4-5.
+_PALLAS_T_CAP = 400
 
 # Distinct cap for the FORWARD-ONLY kernel (ADVICE r4): it runs in eval
 # programs outside the fragile multi-kernel train composition. The

@@ -201,12 +201,15 @@ def pallas_fits(b: int, h: int, t: int | None = None) -> bool:
     mid-train and re-capped to 400; the round-5 preflight
     (benchmarks/compiler_boundary_probe.py) measured the lstm, ctc, and
     full train-step composition ladders — plus the round-4 fit() crasher
-    itself — green through T=512, so the cap is 512 this round
-    (BASELINE.md boundary table). Longer sequences ride the lax.scan path
-    (0.77x the kernel's rate), which compiles and runs at every tested
-    shape. Never raise this on faith: run the preflight first.
+    itself — green through T=512 and the cap was raised to 512 — and then
+    the very first T=502 fit() of the round (timit_ctc_blstm, same day)
+    crashed the worker at the first train-step loss fetch. The preflight
+    is a point sample of a flaky boundary; 400 is the only cap that has
+    held across every session of rounds 4-5, so the cap is 400 for keeps.
+    Longer sequences ride the lax.scan path (0.77x the kernel's rate),
+    which compiles and runs at every tested shape.
     """
-    if t is not None and t > 512:
+    if t is not None and t > 400:
         return False
     return b * h <= 4 * _ANCHOR_ROWS and h <= 512
 

@@ -53,12 +53,11 @@ def test_pallas_repeated_labels_interpret():
 def test_pallas_ctc_vmem_fit_guard():
     from tensorflow_end2end_speech_recognition_tpu.ops.ctc import pallas_ctc_fits
 
-    # flagship shapes comfortably fit; hard-corpus TIMIT T~500 is inside
-    # the round-5 preflight boundary (512)
+    # flagship shapes comfortably fit; hard-corpus TIMIT T~500 routes to
+    # scan (T=502 crashed the worker right after the round-5 preflight
+    # passed 512 — the cap is back at the only boundary that has held, 400)
     assert pallas_ctc_fits(400, 29, 40)
-    assert pallas_ctc_fits(500, 29, 48)
-    # beyond the per-round compiler T boundary -> scan fallback (round-5
-    # preflight measured T=512 good; see ops/ctc.py)
+    assert not pallas_ctc_fits(500, 29, 48)
     assert not pallas_ctc_fits(513, 29, 48)
     assert not pallas_ctc_fits(1000, 29, 200)
     # CSJ-kanji-scale vocab at long T overflows -> scan fallback
@@ -104,7 +103,7 @@ def test_pallas_fwd_fits_admits_more_than_fused():
     )
 
     assert pallas_ctc_fwd_fits(400, 29, 40)
-    # the fused kernel obeys the train-composition boundary (512); the
+    # the fused kernel obeys the train-composition boundary (400); the
     # fwd-only kernel has its own cap (2400, probed separately each round
     # per ADVICE r4 — round-5 preflight ladder green through 2400)
     assert not pallas_ctc_fits(2400, 29, 250)
