@@ -79,7 +79,21 @@ class HardCorpus:
         snr_db: tuple = (8.0, 25.0),
         num_words: int = 50,
         vocab_size: int | None = None,  # accepted for ToyCorpus-arg parity
+        max_utt_seconds: float | None = None,
     ):
+        """``max_utt_seconds`` bounds utterance duration by splitting long
+        scripts at inter-word pause midpoints (the generator knows the exact
+        sample position of every pause, so the cut is acoustically exact:
+        same render, same channel filter, same noise draw — parts are
+        verbatim slices of the uncut waveform, each with its word-aligned
+        transcript). Motivation: unstacked configs (``num_stack: 1``, the
+        reference's TIMIT CTC setup, SURVEY.md §3.1) hit T≈500 frames on
+        this corpus, which sits on the remote-toolchain composition
+        boundary that hard-crashes the TPU worker in ``fit()`` even with
+        all-scan routing (BASELINE.md rounds 4-5); a 3.9 s cap keeps
+        T ≤ 390 — inside the only boundary that has held. Splitting long
+        training utterances at silences is standard ASR practice; here the
+        synthetic alignment makes it lossless."""
         del vocab_size  # the lexicon fixes the inventory; knob kept for parity
         self.label_type = label_type
         self.sample_rate = sample_rate
@@ -132,25 +146,42 @@ class HardCorpus:
             }
 
         self.utterances: list[Utterance] = []
+        cap = None if max_utt_seconds is None else int(max_utt_seconds * sample_rate)
         for i in range(num_utts):
             n_words = rng.randint(min_units, max_units + 1)
             words = [self.lexicon[j] for j in rng.randint(0, len(self.lexicon), size=n_words)]
-            text = " ".join(words)
-            ids = self._label_ids(text)
             spk = int(rng.randint(0, ns))
-            wav = self._render(
+            wav, cuts = self._render(
                 words, rng,
                 formant_scale=spk_scale[spk],
                 tilt=spk_tilt[spk],
                 rate=0.75 + 0.55 * rng.rand(),
                 snr_db=snr_db[0] + (snr_db[1] - snr_db[0]) * rng.rand(),
             )
-            self.utterances.append(
-                Utterance(
-                    f"hard{i:05d}", (wav * spk_gain[spk]).astype(np.float32),
-                    ids, text, speaker=f"spk{spk:02d}",
+            wav = (wav * spk_gain[spk]).astype(np.float32)
+            if cap is None or len(wav) <= cap:
+                chunks = [(0, len(words))]
+            else:
+                # greedy split at pause midpoints: extend each part while it
+                # stays under the cap (a single over-cap word is kept whole —
+                # impossible at this lexicon's 2-6 letters, guarded anyway)
+                bounds = [0, *cuts, len(wav)]
+                chunks, start = [], 0
+                for end in range(1, len(words) + 1):
+                    last = end == len(words)
+                    if last or bounds[end + 1] - bounds[start] > cap:
+                        chunks.append((start, end))
+                        start = end
+            bounds = [0, *cuts, len(wav)]
+            for part, (ws, we) in enumerate(chunks):
+                text = " ".join(words[ws:we])
+                suffix = "" if len(chunks) == 1 else chr(ord("a") + part)
+                self.utterances.append(
+                    Utterance(
+                        f"hard{i:05d}{suffix}", wav[bounds[ws]:bounds[we]],
+                        self._label_ids(text), text, speaker=f"spk{spk:02d}",
+                    )
                 )
-            )
 
     # -------------------------------------------------------------------
     def _label_ids(self, text: str) -> list:
@@ -158,18 +189,26 @@ class HardCorpus:
             return [self._letter_ids[c] for c in text if c != " "]
         return self.tokenizer.encode_text(text)
 
-    def _render(self, words, rng, formant_scale, tilt, rate, snr_db) -> np.ndarray:
+    def _render(self, words, rng, formant_scale, tilt, rate, snr_db):
+        """Returns ``(wav, cuts)``: the rendered waveform and the sample
+        position of each inter-word pause midpoint (len(words)-1 of them),
+        used by the ``max_utt_seconds`` splitter."""
         sr = self.sample_rate
         f1s, f2s = self._f1 * formant_scale, self._f2 * formant_scale
         segs = []  # (f1_target, f2_target, n_samples, voiced)
+        cuts, pos_est = [], 0
         for w, word in enumerate(words):
             if w:  # inter-word pause renders the transcript space
                 n = int((0.03 + 0.05 * rng.rand()) * rate * sr)
                 segs.append((0.0, 0.0, n, False))
+                cuts.append(pos_est + n // 2)
+                pos_est += n
             for ch in word:
                 j = _ALPHABET.index(ch)
                 dur = (0.05 + 0.05 * rng.rand()) * rate * (0.8 + 0.45 * rng.rand())
-                segs.append((f1s[j], f2s[j], max(int(dur * sr), 8), True))
+                n = max(int(dur * sr), 8)
+                segs.append((f1s[j], f2s[j], n, True))
+                pos_est += n
 
         total = sum(s[2] for s in segs)
         wav = np.zeros(total, np.float64)
@@ -201,4 +240,4 @@ class HardCorpus:
         sig_pow = float(np.mean(wav**2)) or 1e-8
         noise_pow = sig_pow / (10.0 ** (snr_db / 10.0))
         wav = wav + np.sqrt(noise_pow) * rng.randn(total)
-        return wav.astype(np.float32)
+        return wav.astype(np.float32), cuts

@@ -124,10 +124,18 @@ def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test"),
                 confusability=0.05 if harder else 0.10,
                 num_speakers=32 if harder else 16,
                 snr_db=(3.0, 18.0) if harder else (8.0, 25.0),
+                max_utt_seconds=exp.max_utt_seconds,
             )
         elif exp.toy_profile != "easy":
             raise ValueError(f"unknown toy_profile {exp.toy_profile!r}")
         else:
+            if exp.max_utt_seconds is not None:
+                import warnings
+
+                warnings.warn(
+                    "max_utt_seconds only applies to toy_profile hard/harder; "
+                    "the easy corpus (~2 s utterances) is unaffected"
+                )
             corpus = ToyCorpus(
                 label_type=exp.label_type,
                 num_utts=exp.toy_num_utts,

@@ -192,6 +192,11 @@ class ExperimentConfig:
     toy_max_units: int = 10
     toy_vocab_size: int | None = None
     toy_seed: int = 0
+    # bound hard/harder-corpus utterance duration by splitting long scripts
+    # at inter-word pause midpoints (data/hard_corpus.py). Unstacked configs
+    # hit T≈500 frames otherwise, which sits on the remote-toolchain
+    # boundary that crashes fit() (BASELINE.md rounds 4-5); 3.9 keeps T≤390.
+    max_utt_seconds: float | None = None
     # misc
     seed: int = 0
     save_interval_epochs: int = 1

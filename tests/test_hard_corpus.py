@@ -70,6 +70,72 @@ def test_durations_and_noise():
     assert float(np.std(c.utterances[0].wav[:50])) > 0.0
 
 
+def test_max_utt_seconds_split_is_lossless():
+    """``max_utt_seconds`` splits long scripts at pause midpoints: parts are
+    verbatim slices of the uncut waveform (identical rng consumption, so the
+    capped corpus renders the SAME audio) whose word transcripts concatenate
+    back to the full script."""
+    from collections import defaultdict
+
+    kw = dict(label_type="character", num_utts=12, seed=5,
+              min_units=8, max_units=12)
+    full = HardCorpus(**kw)
+    cap_s = 2.0
+    capped = HardCorpus(**kw, max_utt_seconds=cap_s)
+    sr = capped.sample_rate
+    assert all(len(u.wav) <= cap_s * sr for u in capped.utterances)
+    assert len(capped.utterances) > len(full.utterances)  # something split
+    groups = defaultdict(list)
+    for u in capped.utterances:
+        groups[u.name[:9]].append(u)  # parts share the "hardNNNNN" prefix
+    for fu in full.utterances:
+        parts = groups[fu.name[:9]]
+        assert " ".join(p.text for p in parts) == fu.text
+        np.testing.assert_array_equal(
+            np.concatenate([p.wav for p in parts]), fu.wav
+        )
+        assert all(p.speaker == fu.speaker for p in parts)
+
+
+def test_max_utt_seconds_bounds_timit_frames():
+    """The timit_ctc_blstm setting (3.9 s, num_stack 1) must keep every
+    utterance under the T=400 composition boundary (BASELINE.md r4-r5)."""
+    c = HardCorpus(label_type="phone61", num_utts=32, seed=0,
+                   min_units=4, max_units=10, max_utt_seconds=3.9)
+    frames = max(int(np.ceil(len(u.wav) / (0.010 * c.sample_rate)))
+                 for u in c.utterances)
+    assert frames <= 390
+    assert all(u.label_ids for u in c.utterances)
+
+
+def test_max_utt_seconds_wired_through_config():
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import (
+        build_corpus_splits,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    exp = ExperimentConfig(
+        model_type="ctc", label_type="character", encoder_type="blstm",
+        toy_profile="hard", toy_num_utts=8, toy_min_units=6, toy_max_units=10,
+        max_utt_seconds=1.5,
+    )
+    train, dev, test, _ = build_corpus_splits(exp)
+    for u in train + dev + test:
+        assert len(u.wav) <= 1.5 * 16000
+    # the shipped TIMIT config carries the boundary cap
+    cfg = ExperimentConfig.from_yaml("configs/timit_ctc_blstm.yml")
+    assert cfg.max_utt_seconds == 3.9
+    # easy profile: tolerated with a warning, corpus unaffected
+    easy = ExperimentConfig(
+        model_type="ctc", label_type="phone61", encoder_type="blstm",
+        toy_num_utts=4, max_utt_seconds=1.5,
+    )
+    with pytest.warns(UserWarning, match="max_utt_seconds"):
+        build_corpus_splits(easy)
+
+
 def test_fit_hard_profile_end_to_end(tmp_path):
     from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
     from tensorflow_end2end_speech_recognition_tpu.utils.config import (
