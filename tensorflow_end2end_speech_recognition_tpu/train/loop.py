@@ -125,6 +125,8 @@ def build_corpus_splits(exp: ExperimentConfig, need=("train", "dev", "test"),
                 num_speakers=32 if harder else 16,
                 snr_db=(3.0, 18.0) if harder else (8.0, 25.0),
                 max_utt_seconds=exp.max_utt_seconds,
+                **({"num_words": exp.toy_lexicon_words}
+                   if exp.toy_lexicon_words else {}),
             )
         elif exp.toy_profile != "easy":
             raise ValueError(f"unknown toy_profile {exp.toy_profile!r}")

@@ -192,6 +192,13 @@ class ExperimentConfig:
     toy_max_units: int = 10
     toy_vocab_size: int | None = None
     toy_seed: int = 0
+    # hard/harder-corpus lexicon size (default 50 pseudo-words). Subword
+    # (BPE) configs need a lexicon LARGER than their merge vocabulary:
+    # on the default 50-word lexicon a bpe_1000 tokenizer memorizes every
+    # word whole (50 observed units, ~10 tokens/utt) and the decoder is
+    # supervision-starved (round-5 ladder, BASELINE.md); a few hundred
+    # words force genuinely sub-lexical units and realistic token counts.
+    toy_lexicon_words: int | None = None
     # bound hard/harder-corpus utterance duration by splitting long scripts
     # at inter-word pause midpoints (data/hard_corpus.py). Unstacked configs
     # hit T≈500 frames otherwise, which sits on the remote-toolchain

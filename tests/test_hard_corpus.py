@@ -136,6 +136,34 @@ def test_max_utt_seconds_wired_through_config():
         build_corpus_splits(easy)
 
 
+def test_lexicon_words_forces_sublexical_bpe():
+    """With a lexicon larger than the BPE merge vocabulary, units must be
+    genuinely sub-lexical (more tokens than words per utterance) — the
+    round-5 fix for the supervision-starved bpe benchmark configs; and the
+    knob must plumb through the config."""
+    c = HardCorpus(label_type="bpe_60", num_utts=8, seed=1, num_words=200)
+    assert len(c.lexicon) == 200
+    for u in c.utterances:
+        n_words = len(u.text.split())
+        assert len(u.label_ids) > n_words  # sub-lexical units
+        assert c.tokenizer.decode_text(u.label_ids) == u.text
+
+    from tensorflow_end2end_speech_recognition_tpu.train.loop import (
+        build_corpus_splits,
+    )
+    from tensorflow_end2end_speech_recognition_tpu.utils.config import (
+        ExperimentConfig,
+    )
+
+    exp = ExperimentConfig(
+        model_type="ctc", label_type="character", encoder_type="blstm",
+        toy_profile="hard", toy_num_utts=64, toy_lexicon_words=70,
+    )
+    train, dev, test, _ = build_corpus_splits(exp)
+    words = {w for u in train + dev + test for w in u.text.split()}
+    assert len(words) > 50  # default lexicon is 50; the knob grew it
+
+
 def test_fit_hard_profile_end_to_end(tmp_path):
     from tensorflow_end2end_speech_recognition_tpu.train.loop import fit
     from tensorflow_end2end_speech_recognition_tpu.utils.config import (
