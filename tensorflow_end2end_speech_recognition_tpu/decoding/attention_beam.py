@@ -55,6 +55,7 @@ def attention_beam_search(
     lm_cfg: LMConfig | None = None,
     lm_weight: float = 0.0,
     precomputed=None,  # encode(...) result, to share one encoder pass
+    unroll: int | None = None,  # steps per while_loop iteration (None = auto)
 ) -> BeamSearchResult:
     b = feats.shape[0]
     w = beam_width
@@ -131,6 +132,24 @@ def attention_beam_search(
     # order on ties, history/lengths are gated on was_finished), so stopping
     # is bit-exact — and typical hypotheses are several times shorter than
     # max_decode_length, which set the old step count (VERDICT r3 weak #4).
+    # unroll: k steps per loop iteration — the round-5 phase profile
+    # (BASELINE.md) measured ~2.55 ms PER ITERATION of sequencing overhead
+    # vs microseconds of step math, so amortizing the iteration cost k-fold
+    # is the decode lever. Bit-exact: k divides max_len (never overshoots)
+    # and up-to-k-1 extra steps past all-finished are the provable no-ops
+    # the early exit already relies on (dead beams self-extend EOS at +0
+    # with identity parent gathers under stable top_k).
+    from ..models.seq2seq import decode_unroll_factor
+
+    k_unroll = unroll or decode_unroll_factor(max_len)
+    if max_len % k_unroll:
+        raise ValueError(f"unroll {k_unroll} must divide max_len {max_len}")
+
+    def step_k(state):
+        for _ in range(k_unroll):
+            state = step(state)
+        return state
+
     def not_done(state):
         si, finished = state[0], state[5]
         return jnp.logical_and(si < max_len, ~jnp.all(finished))
@@ -138,7 +157,7 @@ def attention_beam_search(
     state0 = (jnp.zeros((), jnp.int32), carry, scores, att_scores, tokens0,
               finished, lengths, history, lm_state)
     (_, carry, scores, att_scores, _, finished, lengths, history, _) = (
-        jax.lax.while_loop(not_done, step, state0)
+        jax.lax.while_loop(not_done, step_k, state0)
     )
 
     # strip the EOS token from lengths where it was emitted

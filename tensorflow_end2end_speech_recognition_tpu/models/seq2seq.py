@@ -223,9 +223,28 @@ def forward_train(
     )
 
 
+def decode_unroll_factor(max_len: int) -> int:
+    """Steps per while_loop iteration for the early-exit decode loops.
+
+    The round-5 beam phase profile (BASELINE.md, VERDICT r4 #3a) measured
+    ~2.55 ms per while_loop iteration at shapes where the step's math is
+    microseconds — per-iteration sequencing overhead of dozens of tiny
+    kernels dominates the whole decode (98.7%). Running k steps per
+    iteration amortizes that overhead ~k-fold. Bit-exactness is preserved
+    because (a) k divides max_decode_length, so the loop can never run
+    past max_len steps, and (b) steps past the all-finished point are
+    provable no-ops (beam: EOS self-extension at +0 with stable top_k;
+    greedy: buffer writes are gated on the live flag).
+    """
+    for k in (8, 7, 6, 5, 4, 3, 2):
+        if max_len % k == 0:
+            return k
+    return 1
+
+
 def greedy_decode(
     params, cfg: Seq2SeqConfig, feats, feat_len, max_len: int | None = None,
-    precomputed=None,
+    precomputed=None, unroll: int | None = None,
 ) -> Seq2SeqOutput:
     """Argmax feedback decoding to ``max_decode_length`` with EOS masking."""
     enc, ctc_logits, ctc_len = (
@@ -246,6 +265,11 @@ def greedy_decode(
     # aligns: zeros — the old scan carried real-but-unread values there).
     def body(state):
         si, carry, token, finished, logits_buf, preds_buf, aligns_buf = state
+        # live: whether this step would have executed under unroll=1 (the
+        # while condition is only checked every `unroll` steps). Dead steps
+        # must leave the output buffers at their fill — preds' fill IS the
+        # eos the masked argmax writes, but logits/aligns fills are zeros.
+        live = ~jnp.all(finished)
         # fused=True: Pallas location-attention kernel (1.7x the XLA path;
         # inference only — the kernel defines no gradient)
         carry, logits = _decoder_step(
@@ -254,10 +278,21 @@ def greedy_decode(
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pred = jnp.where(finished, cfg.eos_id, pred)
         finished = finished | (pred == cfg.eos_id)
-        logits_buf = jax.lax.dynamic_update_index_in_dim(logits_buf, logits, si, 0)
+        logits_buf = jax.lax.dynamic_update_index_in_dim(
+            logits_buf, jnp.where(live, logits, jnp.zeros_like(logits)), si, 0)
         preds_buf = jax.lax.dynamic_update_index_in_dim(preds_buf, pred, si, 0)
-        aligns_buf = jax.lax.dynamic_update_index_in_dim(aligns_buf, carry[3], si, 0)
+        aligns_buf = jax.lax.dynamic_update_index_in_dim(
+            aligns_buf, jnp.where(live, carry[3], jnp.zeros_like(carry[3])), si, 0)
         return (si + 1, carry, pred, finished, logits_buf, preds_buf, aligns_buf)
+
+    k_unroll = unroll or decode_unroll_factor(max_len)
+    if max_len % k_unroll:
+        raise ValueError(f"unroll {k_unroll} must divide max_len {max_len}")
+
+    def body_k(state):
+        for _ in range(k_unroll):
+            state = body(state)
+        return state
 
     def not_done(state):
         si, finished = state[0], state[3]
@@ -283,7 +318,7 @@ def greedy_decode(
         jnp.full((max_len, b), cfg.eos_id, jnp.int32),
         jnp.zeros((max_len, b, enc_out.shape[1]), carry_s[3].dtype),
     )
-    (_, _, _, _, logits, preds, aligns) = jax.lax.while_loop(not_done, body, state0)
+    (_, _, _, _, logits, preds, aligns) = jax.lax.while_loop(not_done, body_k, state0)
     return Seq2SeqOutput(
         logits.swapaxes(0, 1), aligns.swapaxes(0, 1), preds.swapaxes(0, 1),
         ctc_logits=ctc_logits, ctc_logit_len=ctc_len,

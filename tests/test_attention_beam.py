@@ -145,6 +145,47 @@ def test_early_exit_invariant_to_max_decode_length():
     assert np.all(pl[:, 6:] == cfg.eos_id)
 
 
+def test_unroll_bit_exact():
+    """The decode-loop unroll (k steps per while_loop iteration — the round-5
+    per-iteration-overhead lever) must be bit-exact vs unroll=1, both when
+    hypotheses run the full budget and when EOS fires early (so up to k-1
+    dead steps actually execute inside the last unrolled iteration)."""
+    cfg = _cfg()._replace(max_decode_length=12)
+    params, feats, feat_len = _setup(cfg)
+    for bias in (0.0, 2.0):  # full-length run / early-EOS run
+        p = dict(params)
+        p["out_proj"] = dict(p["out_proj"])
+        p["out_proj"]["b"] = p["out_proj"]["b"].at[cfg.eos_id].add(bias)
+        r1 = attention_beam_search(p, cfg, feats, feat_len, beam_width=3, unroll=1)
+        for k in (3, 4, 6, None):  # None = auto
+            rk = attention_beam_search(p, cfg, feats, feat_len, beam_width=3, unroll=k)
+            np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(rk.tokens))
+            np.testing.assert_array_equal(np.asarray(r1.lengths), np.asarray(rk.lengths))
+            np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(rk.scores))
+            np.testing.assert_array_equal(
+                np.asarray(r1.raw_scores), np.asarray(rk.raw_scores))
+        g1 = greedy_decode(p, cfg, feats, feat_len, unroll=1)
+        for k in (3, 4, 6, None):
+            gk = greedy_decode(p, cfg, feats, feat_len, unroll=k)
+            np.testing.assert_array_equal(
+                np.asarray(g1.predicted_ids), np.asarray(gk.predicted_ids))
+            np.testing.assert_array_equal(
+                np.asarray(g1.logits), np.asarray(gk.logits))
+            np.testing.assert_array_equal(
+                np.asarray(g1.attention_weights), np.asarray(gk.attention_weights))
+
+
+def test_unroll_must_divide_max_len():
+    import pytest
+
+    cfg = _cfg()._replace(max_decode_length=10)
+    params, feats, feat_len = _setup(cfg)
+    with pytest.raises(ValueError):
+        attention_beam_search(params, cfg, feats, feat_len, beam_width=2, unroll=4)
+    with pytest.raises(ValueError):
+        greedy_decode(params, cfg, feats, feat_len, unroll=3)
+
+
 def test_beam_eval_nll_matches_greedy_eval_nll():
     """bin/eval.py's "loss" column must mean the same thing (teacher-forced
     per-utterance NLL) for greedy and beam eval steps (VERDICT r2 #9)."""
