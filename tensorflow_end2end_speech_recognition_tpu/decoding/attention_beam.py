@@ -56,6 +56,7 @@ def attention_beam_search(
     lm_weight: float = 0.0,
     precomputed=None,  # encode(...) result, to share one encoder pass
     unroll: int | None = None,  # steps per while_loop iteration (None = auto)
+    fused: bool = True,  # Pallas location-attention read inside the step
 ) -> BeamSearchResult:
     b = feats.shape[0]
     w = beam_width
@@ -83,7 +84,7 @@ def attention_beam_search(
     def step(state):
         si, carry, scores, att_scores, tokens, finished, lengths, history, lm_state = state
         carry, logits = _decoder_step(
-            params, cfg, enc_out, enc_keys, enc_mask, carry, tokens, fused=True
+            params, cfg, enc_out, enc_keys, enc_mask, carry, tokens, fused=fused
         )
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, v)
         step_scores = logp
