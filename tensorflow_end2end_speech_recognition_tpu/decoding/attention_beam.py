@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from ..models.attention import precompute_keys
 from ..models.lm import LMConfig, lm_init_state, lm_step
-from ..models.seq2seq import Seq2SeqConfig, _decoder_step, _init_decoder_carry, encode
+from ..models.seq2seq import (
+    Seq2SeqConfig,
+    _decoder_step,
+    _init_decoder_carry,
+    decode_unroll_factor,
+    encode,
+)
 
 _NEG = -1e30
 
@@ -140,8 +146,6 @@ def attention_beam_search(
     # and up-to-k-1 extra steps past all-finished are the provable no-ops
     # the early exit already relies on (dead beams self-extend EOS at +0
     # with identity parent gathers under stable top_k).
-    from ..models.seq2seq import decode_unroll_factor
-
     k_unroll = unroll or decode_unroll_factor(max_len)
     if max_len % k_unroll:
         raise ValueError(f"unroll {k_unroll} must divide max_len {max_len}")
