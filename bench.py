@@ -22,8 +22,9 @@ and the Pallas LSTM path now streams xproj/ys/cs/dxproj at bf16 while
 keeping carried h/c state and all gate math f32 in VMEM — measured
 706.0 -> 903.4 utts/s/chip at B=128 (benchmarks/bf16_stream_probe.py,
 BASELINE.md round 5). Numerics: the bf16 path is pinned to the f32 scan
-within rounding tolerance (tests/test_lstm_pallas.py) and the converged
-hard-corpus quality arm trains to f32-parity error (BASELINE.md round 5).
+within rounding tolerance (tests/test_lstm_pallas.py) and the full-protocol
+hard-corpus quality arm trains to f32-class test error at the probe's
+predicted 1.28x rate (test 0.0131 vs f32 0.0138; BASELINE.md round 5).
 """
 
 from __future__ import annotations
